@@ -1,0 +1,452 @@
+"""LakeTable — snapshot-versioned Parquet table with commutative MERGE.
+
+This is the engine's sink, replacing the reference's MySQL target tables +
+dlt merge disposition (``/root/reference/source/pipeline_management.py:1076``,
+``:1826-1862`` — per-row ``INSERT … ON DUPLICATE KEY UPDATE``) with a
+Spark-first design:
+
+- **Layout**: data files are Parquet, hash-bucketed on the merge key
+  (``pmod(xxhash64(key), num_buckets)``). A MERGE only reads and rewrites
+  the buckets its delta touches (copy-on-write at bucket granularity) —
+  the analog of the reference's PK-index pre-creation
+  (``index_management.py:177-231``), done with layout instead of indexes.
+- **MERGE semantics**: last-writer-wins registers. The winner per key is
+  ``max_by(payload, (order_col, _event_id))`` over (base ∪ delta).
+  Deletes become *tombstones* (``_deleted=true``) that keep their event
+  time, so merge is **commutative and idempotent**: applying batches in
+  any order, or re-applying any batch, converges to the same final state
+  — the property that makes replay-from-any-checkpoint exact. The
+  reference gets a weaker version of this from MySQL upsert arrival order
+  (a correctness hazard: ``workflow.md:50-72``); we make it total.
+- **Aggregation, not window**: LWW reduction uses ``max_by`` (a declarative
+  aggregate with map-side partial aggregation) rather than a window sort.
+  Partial aggregation collapses hot keys on the map side, so a key with
+  10^6 duplicate events costs ~1 combined row per input partition in the
+  shuffle — the primary skew defense; explicit salting (``cdc.dedup``)
+  covers the window-based path.
+- **Atomic commits + exactly-once**: a snapshot manifest lists data files;
+  committing is an atomic pointer swap. Each snapshot records the batch
+  ids it contains; re-applying a committed ``batch_id`` is a no-op
+  (the Iceberg snapshot-summary idempotence protocol).
+- **Schema evolution**: metadata-only add / rename / type-widen with
+  column IDs; old files are id-mapped + cast at scan time.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.lake import metadata as M
+from patuha_etl_dlt_spark.lake.metadata import DataFile, Field, Schema, Snapshot
+
+# system columns every lake table carries (reference analog: dlt lineage
+# columns _dlt_load_id/_dlt_id, /root/reference/source/database.py:435-458)
+SYS_DELETED = "_deleted"
+SYS_BATCH = "_batch_id"
+SYS_EVENT = "_event_id"
+SYS_COLS = (SYS_DELETED, SYS_BATCH, SYS_EVENT)
+
+_ORDER_NULL_TS = "1970-01-01 00:00:00"
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "_metadata")
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        columns: list[tuple[str, str]],
+        key_cols: list[str] | str,
+        order_col: str,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table.
+
+        ``columns``: user columns as (name, type) — e.g. the `pages` shape
+        [(url,string),(warc_ts,timestamp),(html,binary),(text,string),(lang,string)].
+        ``key_cols``: merge key; str or list (composite keys supported, as in
+        the reference's utils.py:42-68).
+        ``order_col``: the event-time/cursor column used for LWW ordering
+        (ties broken by `_event_id`, the LSN — a total order).
+        """
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        names = [c for c, _ in columns]
+        for k in key_cols:
+            if k not in names:
+                raise ValueError(f"key column {k!r} not in columns")
+        if order_col not in names:
+            raise ValueError(f"order column {order_col!r} not in columns")
+        fields = [Field(i + 1, n, t) for i, (n, t) in enumerate(columns)]
+        nid = len(fields)
+        fields += [
+            Field(nid + 1, SYS_DELETED, "boolean"),
+            Field(nid + 2, SYS_BATCH, "string"),
+            Field(nid + 3, SYS_EVENT, "long"),
+        ]
+        schema = Schema.of(fields)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema_id=0,
+            schemas={0: schema},
+            key_cols=key_cols,
+            order_cols=[order_col, SYS_EVENT],
+            num_buckets=num_buckets,
+            files=[],
+            summary={"operation": "create"},
+        )
+        t = LakeTable(spark, root)
+        if M.read_current_version(t.meta_dir) is not None:
+            raise ValueError(f"table already exists at {root}")
+        M.write_snapshot(t.meta_dir, snap)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        t = LakeTable(spark, root)
+        if M.read_current_version(t.meta_dir) is None:
+            raise FileNotFoundError(f"no lake table at {root}")
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return M.read_current_version(os.path.join(root, "_metadata")) is not None
+
+    # ----------------------------------------------------------- snapshots
+
+    @property
+    def snapshot(self) -> Snapshot:
+        v = M.read_current_version(self.meta_dir)
+        if v is None:
+            raise FileNotFoundError(f"no lake table at {self.root}")
+        return M.read_snapshot(self.meta_dir, v)
+
+    @property
+    def schema(self) -> Schema:
+        return self.snapshot.schema
+
+    def user_columns(self) -> list[str]:
+        return [f.name for f in self.schema.fields if f.name not in SYS_COLS]
+
+    def has_batch(self, batch_id: str) -> bool:
+        """Exactly-once check: has this batch already been committed?"""
+        return batch_id in self.snapshot.batch_ids
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        v: int | None = M.read_current_version(self.meta_dir)
+        while v is not None:
+            s = M.read_snapshot(self.meta_dir, v)
+            out.append(s)
+            v = s.parent
+        return out
+
+    # --------------------------------------------------------------- reads
+
+    def _bucket_expr(self, snap: Snapshot):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets))
+
+    def _align(self, df: DataFrame, schema: Schema, from_schema: Schema | None = None) -> DataFrame:
+        """Project ``df`` to ``schema``: id-map names (when ``from_schema``
+        given), cast widened types, fill missing columns with NULL."""
+        cols = []
+        for f in schema.fields:
+            src = None
+            if from_schema is not None:
+                old = from_schema.field_by_id(f.id)
+                if old is not None and old.name in df.columns:
+                    src = old.name
+            elif f.name in df.columns:
+                src = f.name
+            if src is None:
+                cols.append(F.lit(None).cast(M.spark_type(f.type)).alias(f.name))
+            else:
+                cols.append(F.col(src).cast(M.spark_type(f.type)).alias(f.name))
+        return df.select(*cols)
+
+    def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Read data files (all schema epochs), aligned to the current schema
+        **including system columns**; tombstones included."""
+        target = snap.schema
+        if not files:
+            return self.spark.createDataFrame([], target.to_struct())
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f.schema_id, []).append(os.path.join(self.root, f.path))
+        parts = []
+        for sid, paths in sorted(by_sid.items()):
+            raw = self.spark.read.schema(snap.schemas[sid].to_struct()).parquet(*paths)
+            parts.append(self._align(raw, target, from_schema=snap.schemas[sid]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read(
+        self,
+        include_deleted: bool = False,
+        include_system: bool = False,
+        snapshot_version: int | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel) state of the table as a DataFrame."""
+        snap = (
+            self.snapshot
+            if snapshot_version is None
+            else M.read_snapshot(self.meta_dir, snapshot_version)
+        )
+        df = self._read_files(snap, snap.files)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        if not include_system:
+            df = df.drop(*SYS_COLS)
+        return df
+
+    # -------------------------------------------------------------- writes
+
+    def _write_files(self, snap: Snapshot, df: DataFrame) -> list[DataFile]:
+        """Write ``df`` (already aligned to snap.schema) bucket-partitioned;
+        return the new DataFile entries. No extra shuffle: files are written
+        from the upstream partitioning (the merge groupBy already hash-
+        partitions by key), one file per (task, bucket) pair."""
+        rel = M.new_data_dir(self.root)
+        out = os.path.join(self.root, rel)
+        (
+            df.withColumn("_bucket", self._bucket_expr(snap))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        new_files: list[DataFile] = []
+        for bdir in glob.glob(os.path.join(out, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                new_files.append(DataFile(os.path.relpath(p, self.root), b, snap.schema_id))
+        return new_files
+
+    def _commit(self, snap: Snapshot, files: list[DataFile], batch_id: str | None, summary: dict) -> Snapshot:
+        new = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema_id=snap.schema_id,
+            schemas=snap.schemas,
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            num_buckets=snap.num_buckets,
+            files=files,
+            batch_ids=snap.batch_ids + ([batch_id] if batch_id else []),
+            summary=summary,
+        )
+        M.write_snapshot(self.meta_dir, new)
+        return new
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> dict:
+        """Full refresh (the reference's ``write_disposition="replace"`` path,
+        ``pipeline_management.py:1225-1506``): target := source, as a new
+        snapshot — O(metadata) "truncate", no row deletes."""
+        snap = self.snapshot
+        if batch_id and batch_id in snap.batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+        aligned = self._align(
+            df.withColumn(SYS_DELETED, F.lit(False))
+            .withColumn(SYS_BATCH, F.lit(batch_id))
+            .withColumn(
+                SYS_EVENT,
+                F.col(SYS_EVENT) if SYS_EVENT in df.columns else F.lit(None).cast("long"),
+            ),
+            snap.schema,
+        )
+        obs = Observation()
+        aligned = aligned.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        files = self._write_files(snap, aligned)
+        self._commit(
+            snap, files, batch_id, {"operation": "overwrite", "batch_id": batch_id}
+        )
+        return {"skipped": False, "batch_id": batch_id, **obs.get}
+
+    def merge(
+        self,
+        delta: DataFrame,
+        batch_id: str | None = None,
+        op_col: str | None = "op",
+        collect_metrics: bool = True,
+    ) -> dict:
+        """Key-partitioned MERGE of a change-event delta into the table.
+
+        ``delta`` carries the user columns (any subset, any historical
+        names — it is id-less so matched by current name, cast as needed),
+        plus ``_event_id`` (the LSN) and optionally ``op_col`` with values
+        'I'|'U'|'D'. Rows with op='D' become tombstones. Equivalent to
+        Iceberg ``MERGE INTO t USING delta ON key WHEN MATCHED [AND op='D']
+        THEN DELETE / UPDATE WHEN NOT MATCHED THEN INSERT`` — but
+        commutative (see module docstring).
+
+        Returns a metrics dict; a re-applied ``batch_id`` short-circuits to
+        ``{"skipped": True}`` (exactly-once).
+        """
+        snap = self.snapshot
+        if batch_id and batch_id in snap.batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+
+        key_cond = F.lit(True)
+        for k in snap.key_cols:
+            key_cond = key_cond & F.col(k).isNotNull()
+        delta = delta.filter(key_cond)
+
+        if op_col and op_col in delta.columns:
+            deleted = F.upper(F.col(op_col)) == F.lit("D")
+        else:
+            deleted = F.lit(False)
+        delta = delta.withColumn(SYS_DELETED, deleted).withColumn(SYS_BATCH, F.lit(batch_id))
+        if SYS_EVENT not in delta.columns:
+            delta = delta.withColumn(SYS_EVENT, F.lit(None).cast("long"))
+        delta_aligned = self._align(delta, snap.schema).persist()
+
+        # bucket pruning: only read base buckets the delta touches
+        touched = [
+            r[0]
+            for r in delta_aligned.select(self._bucket_expr(snap).alias("b")).distinct().collect()
+        ]
+
+        obs_in = Observation()
+        if collect_metrics:
+            delta_aligned = delta_aligned.observe(
+                obs_in,
+                F.count(F.lit(1)).alias("events_applied"),
+                F.sum(F.col(SYS_DELETED).cast("long")).alias("delete_events"),
+            )
+        touched_set = set(touched)
+        base_files = [f for f in snap.files if f.bucket in touched_set]
+        kept_files = [f for f in snap.files if f.bucket not in touched_set]
+        base = self._read_files(snap, base_files)
+
+        combined = base.unionByName(delta_aligned)
+
+        # LWW winner per key: max_by with map-side partial aggregation.
+        ts_col, _ = snap.order_cols[0], snap.order_cols[1]
+        order = F.struct(
+            F.coalesce(F.col(ts_col), F.lit(_ORDER_NULL_TS).cast("timestamp")).alias("o1"),
+            F.coalesce(F.col(SYS_EVENT), F.lit(-1)).alias("o2"),
+        )
+        payload = [c for c in combined.columns if c not in snap.key_cols]
+        winners = (
+            combined.groupBy(*snap.key_cols)
+            .agg(F.max_by(F.struct(*payload), order).alias("_w"))
+            .select(*snap.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
+
+        obs_out = Observation()
+        if collect_metrics:
+            winners = winners.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("rows_written"),
+                F.sum(F.col(SYS_DELETED).cast("long")).alias("tombstones"),
+            )
+
+        files = kept_files + self._write_files(snap, winners)
+        metrics: dict = {"skipped": False, "batch_id": batch_id, "buckets_rewritten": len(touched)}
+        if collect_metrics:
+            metrics.update(obs_in.get)
+            metrics.update(obs_out.get)
+        delta_aligned.unpersist()
+        self._commit(snap, files, batch_id, {"operation": "merge", **metrics})
+        return metrics
+
+    # ----------------------------------------------------- schema evolution
+
+    def _evolve(self, fn, op: str) -> None:
+        snap = self.snapshot
+        new_schema = fn(snap.schema)
+        if new_schema is snap.schema:
+            return
+        sid = max(snap.schemas) + 1
+        new = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema_id=sid,
+            schemas={**snap.schemas, sid: new_schema},
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            num_buckets=snap.num_buckets,
+            files=snap.files,  # metadata-only: no data rewrite
+            batch_ids=snap.batch_ids,
+            summary={"operation": op},
+        )
+        M.write_snapshot(self.meta_dir, new)
+
+    def add_column(self, name: str, typ: str) -> None:
+        self._evolve(lambda s: s.add_column(name, typ), f"add_column:{name}")
+
+    def rename_column(self, old: str, new: str) -> None:
+        snap = self.snapshot
+        sid = max(snap.schemas) + 1
+        M.write_snapshot(
+            self.meta_dir,
+            Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                schema_id=sid,
+                schemas={**snap.schemas, sid: snap.schema.rename_column(old, new)},
+                # keep key/order metadata consistent through renames
+                key_cols=[new if k == old else k for k in snap.key_cols],
+                order_cols=[new if c == old else c for c in snap.order_cols],
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                batch_ids=snap.batch_ids,
+                summary={"operation": f"rename_column:{old}->{new}"},
+            ),
+        )
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        self._evolve(lambda s: s.widen_column(name, new_type), f"widen_column:{name}:{new_type}")
+
+    # ---------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old snapshot manifests and data files no current snapshot
+        references (Iceberg's expire_snapshots/remove_orphan_files analog,
+        reference hygiene analog: staging cleanup
+        ``pipeline_management.py:1864-1873``). Returns files deleted."""
+        hist = self.history()
+        keep = hist[:keep_last]
+        live = {f.path for s in keep for f in s.files}
+        deleted = 0
+        for s in hist[keep_last:]:
+            for f in s.files:
+                if f.path not in live:
+                    p = os.path.join(self.root, f.path)
+                    if os.path.exists(p):
+                        os.unlink(p)
+                        deleted += 1
+            os.unlink(os.path.join(self.meta_dir, f"snap-{s.version:08d}.json"))
+        # re-parent the oldest kept snapshot so history() stops cleanly
+        if len(hist) > keep_last and keep:
+            oldest = keep[-1]
+            oldest.parent = None
+            M.atomic_write(
+                os.path.join(self.meta_dir, f"snap-{oldest.version:08d}.json"),
+                json.dumps(oldest.to_json()),
+            )
+        return deleted
+
+    def compact_tombstones(self, older_than_event_id: int) -> None:
+        """Purge tombstones whose LSN every feed partition has passed —
+        safe once no event with a smaller LSN can still arrive."""
+        snap = self.snapshot
+        df = self._read_files(snap, snap.files)
+        kept = df.filter(
+            (~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+            | (F.coalesce(F.col(SYS_EVENT), F.lit(-1)) >= F.lit(older_than_event_id))
+        )
+        files = self._write_files(snap, kept)
+        self._commit(snap, files, None, {"operation": "compact_tombstones"})

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Reference analog: engine/pool construction in
+``/root/reference/source/database.py:122-190`` — except Spark manages its
+own executor pool, so all that survives is configuration: Arrow on
+(vectorized UDF transport), AQE on (runtime re-plan, skew-join), UTC
+session timezone (the reference fights tz-naive Asia/Bangkok timestamps,
+``pipeline_management.py:634-722``; we normalize to UTC at the session
+level instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "patuha-etl-dlt-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with CDC-engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — the single
+    most important knob for local correctness runs; on a real cluster set
+    it to ~2-3× total executor cores (AQE coalesces the excess).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic parquet sizes at scale; 128 MB matches HDFS-block-era
+        # defaults and keeps 100 TB / 128 MB ≈ 800k splits tractable
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

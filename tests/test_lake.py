@@ -1,0 +1,190 @@
+"""Lake-table format: commits, merge semantics, evolution, idempotence.
+
+These cover the sink contract the CDC engine relies on (reference analogs
+cited in patuha_etl_dlt_spark/lake/*; the reference ships no tests —
+SURVEY.md §5 — so this suite implements its TRD's intended scenarios)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.lake import LakeTable
+
+PAGES = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i)
+
+
+def ev(spark, rows):
+    """rows: (lsn, op, url, ts_i, text)"""
+    return spark.createDataFrame(
+        [(l, o, u, ts(t), f"<html>{x}</html>".encode(), x, "en") for (l, o, u, t, x) in rows],
+        "_event_id long, op string, url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def state(t: LakeTable) -> dict[str, str]:
+    return {r["url"]: r["text"] for r in t.read().collect()}
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "pages"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+
+
+def test_create_and_empty_read(table):
+    assert table.read().count() == 0
+    assert table.user_columns() == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_merge_insert_update_delete(spark, table):
+    m = table.merge(
+        ev(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1"), (3, "U", "a", 2, "A2")]),
+        batch_id="b1",
+    )
+    assert m["events_applied"] == 3 and m["rows_written"] == 2
+    assert state(table) == {"a": "A2", "b": "B1"}
+
+    table.merge(ev(spark, [(4, "D", "a", 3, "X"), (5, "U", "b", 3, "B2")]), batch_id="b2")
+    assert state(table) == {"b": "B2"}
+    # tombstone retained internally
+    assert table.read(include_deleted=True, include_system=True).count() == 2
+
+
+def test_lww_out_of_order_within_batch(spark, table):
+    # late event (smaller warc_ts) loses even if higher lsn arrives later
+    table.merge(ev(spark, [(10, "U", "a", 5, "NEW"), (11, "U", "a", 2, "OLD")]), batch_id="b1")
+    assert state(table) == {"a": "NEW"}
+
+
+def test_lww_out_of_order_across_batches(spark, table):
+    table.merge(ev(spark, [(10, "U", "a", 5, "NEW")]), batch_id="b1")
+    table.merge(ev(spark, [(11, "U", "a", 2, "OLD")]), batch_id="b2")
+    assert state(table) == {"a": "NEW"}
+
+
+def test_delete_tombstone_blocks_older_resurrect(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1")]), batch_id="b1")
+    table.merge(ev(spark, [(3, "D", "a", 5, "X")]), batch_id="b2")
+    # an older update arriving after the delete must NOT resurrect the row
+    table.merge(ev(spark, [(2, "U", "a", 3, "A2")]), batch_id="b3")
+    assert state(table) == {}
+
+
+def test_exactly_once_reapply_is_noop(spark, table):
+    d = ev(spark, [(1, "I", "a", 1, "A1")])
+    table.merge(d, batch_id="b1")
+    v = table.snapshot.version
+    m = table.merge(ev(spark, [(2, "U", "a", 9, "CHANGED")]), batch_id="b1")
+    assert m["skipped"] is True
+    assert table.snapshot.version == v
+    assert state(table) == {"a": "A1"}
+
+
+def test_merge_commutes(spark, tmp_path):
+    b1 = [(1, "I", "a", 1, "A1"), (4, "U", "b", 2, "B2")]
+    b2 = [(2, "U", "a", 3, "A2"), (3, "I", "b", 1, "B1"), (5, "D", "c", 1, "X")]
+    finals = []
+    for order in ([("x1", b1), ("x2", b2)], [("x2", b2), ("x1", b1)]):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t{len(finals)}"), PAGES, "url", "warc_ts", num_buckets=2
+        )
+        for bid, rows in order:
+            t.merge(ev(spark, rows), batch_id=bid)
+        finals.append(state(t))
+    assert finals[0] == finals[1] == {"a": "A2", "b": "B2"}
+
+
+def test_bucket_pruning(spark, table):
+    table.merge(ev(spark, [(i, "I", f"u{i}", 1, f"T{i}") for i in range(40)]), batch_id="seed")
+    m = table.merge(ev(spark, [(100, "U", "u3", 9, "NEW")]), batch_id="b2")
+    assert m["buckets_rewritten"] == 1
+    assert state(table)["u3"] == "NEW"
+    assert len(state(table)) == 40
+
+
+def test_overwrite_full_refresh(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1")]), batch_id="b1")
+    snap_df = ev(spark, [(3, "I", "c", 2, "C1")]).drop("op")
+    table.overwrite(snap_df, batch_id="fr1")
+    assert state(table) == {"c": "C1"}
+
+
+def test_schema_evolution_add_rename_widen(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1")]), batch_id="b1")
+    table.add_column("content_type", "string")
+    table.add_column("fetch_ms", "int")
+    d = ev(spark, [(2, "I", "b", 2, "B1")]).withColumn(
+        "content_type", F.lit("text/html")
+    ).withColumn("fetch_ms", F.lit(42))
+    table.merge(d, batch_id="b2")
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert rows["a"]["content_type"] is None  # old files: null-filled
+    assert rows["b"]["content_type"] == "text/html"
+
+    table.rename_column("lang", "language")
+    assert "language" in table.user_columns() and "lang" not in table.user_columns()
+    assert {r["url"]: r["language"] for r in table.read().collect()} == {"a": "en", "b": "en"}
+
+    table.widen_column("fetch_ms", "long")
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert rows["b"]["fetch_ms"] == 42
+    assert dict(table.read().dtypes)["fetch_ms"] == "bigint"
+
+
+def test_rename_key_column(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1")]), batch_id="b1")
+    table.rename_column("url", "page_url")
+    assert table.snapshot.key_cols == ["page_url"]
+    d = ev(spark, [(2, "U", "a", 5, "A2")]).withColumnRenamed("url", "page_url")
+    table.merge(d, batch_id="b2")
+    assert {r["page_url"]: r["text"] for r in table.read().collect()} == {"a": "A2"}
+
+
+def test_time_travel_and_expire(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1")]), batch_id="b1")
+    v1 = table.snapshot.version
+    table.merge(ev(spark, [(2, "U", "a", 2, "A2")]), batch_id="b2")
+    assert {r["text"] for r in table.read(snapshot_version=v1).collect()} == {"A1"}
+    n = table.expire_snapshots(keep_last=1)
+    assert n >= 1
+    assert state(table) == {"a": "A2"}
+
+
+def test_composite_key(spark, tmp_path):
+    cols = [("src_url", "string"), ("dst_url", "string"), ("warc_ts", "timestamp"), ("w", "long")]
+    t = LakeTable.create(
+        spark, str(tmp_path / "links"), cols, ["src_url", "dst_url"], "warc_ts", num_buckets=2
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "I", "a", "b", ts(1), 10),
+            (2, "I", "a", "c", ts(1), 20),
+            (3, "U", "a", "b", ts(2), 30),
+        ],
+        "_event_id long, op string, src_url string, dst_url string, warc_ts timestamp, w long",
+    )
+    t.merge(df, batch_id="b1")
+    got = {(r["src_url"], r["dst_url"]): r["w"] for r in t.read().collect()}
+    assert got == {("a", "b"): 30, ("a", "c"): 20}
+
+
+def test_null_keys_dropped(spark, table):
+    df = ev(spark, [(1, "I", "a", 1, "A1")]).unionByName(
+        ev(spark, [(2, "I", "a", 1, "ghost")]).withColumn("url", F.lit(None).cast("string"))
+    )
+    table.merge(df, batch_id="b1")
+    assert state(table) == {"a": "A1"}
