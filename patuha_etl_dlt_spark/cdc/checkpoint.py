@@ -1,0 +1,64 @@
+"""Checkpoint store: per-partition offsets + batch lineage + metrics.
+
+Replaces the reference's two state mechanisms — dlt pipeline state (which
+it distrusts and force-clears, ``pipeline_management.py:854-887``) and the
+``MAX(modifier)`` re-derivation from the target (``:39-56``) — with one
+authoritative, atomically-swapped state document plus an append-only
+metrics log (reference analog of per-sync metrics: ``monitoring.py:287-299``,
+row-count verification ``pipeline_management.py:70-128``).
+
+Offsets are per feed-partition LSN high-water marks. The engine's commit
+order is: (1) MERGE with batch_id stamped into the lake snapshot,
+(2) checkpoint commit. A crash between the two is healed on restart:
+the lake's batch-id idempotence skips the re-MERGE and the checkpoint is
+re-committed — replay converges (north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from patuha_etl_dlt_spark.lake.metadata import atomic_write
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.state_path = os.path.join(root, "state.json")
+        self.metrics_path = os.path.join(root, "metrics.jsonl")
+        os.makedirs(root, exist_ok=True)
+
+    def read(self) -> dict:
+        if not os.path.exists(self.state_path):
+            return {"offsets": {}, "batches": []}
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def offsets(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.read()["offsets"].items()}
+
+    def commit(self, batch_id: str, new_offsets: dict[int, int], metrics: dict) -> None:
+        st = self.read()
+        merged = {int(k): int(v) for k, v in st["offsets"].items()}
+        for p, lsn in new_offsets.items():
+            merged[int(p)] = max(merged.get(int(p), -1), int(lsn))
+        if batch_id not in st["batches"]:
+            st["batches"].append(batch_id)
+        st["offsets"] = {str(k): v for k, v in sorted(merged.items())}
+        st["committed_at"] = time.time()
+        row = {"batch_id": batch_id, "ts": time.time(), **metrics}
+        # metrics log first (informational), state swap last (authoritative)
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        atomic_write(self.state_path, json.dumps(st))
+
+    def has_batch(self, batch_id: str) -> bool:
+        return batch_id in self.read()["batches"]
+
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self.metrics_path):
+            return []
+        with open(self.metrics_path) as f:
+            return [json.loads(line) for line in f if line.strip()]

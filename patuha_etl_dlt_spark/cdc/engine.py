@@ -1,0 +1,165 @@
+"""CdcEngine — the per-batch apply pipeline and the continuous driver loop.
+
+One micro-batch apply (the reference's ``process_incremental_table``,
+``/root/reference/source/pipeline_management.py:605-1223``, collapsed into
+one declarative plan):
+
+    events ──filter(lsn > offsets[partition])──► sanitize (native cols)
+          ──extract text (Arrow pandas UDF)──► evolve schema (metadata ops)
+          ──LWW MERGE into LakeTable (batch_id-idempotent)
+          ──commit per-partition offsets + metrics to CheckpointStore
+
+Exactly-once across the two writes (MERGE, then offsets — "two writes, one
+logical commit", SURVEY.md §7): the MERGE snapshot records the batch id;
+on restart, an already-merged batch skips the MERGE and just re-commits
+offsets, so any crash point converges.
+
+Scale shape of one batch: the only wide operation is the single groupBy
+inside ``LakeTable.merge`` (map-side-combined ``max_by``). The offsets
+aggregation is per feed partition (thousands of groups, trivially small);
+the offset *filter* is a broadcast join against a few-thousand-row map.
+Nothing collects event data to the driver.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.cdc import evolution
+from patuha_etl_dlt_spark.cdc.checkpoint import CheckpointStore
+from patuha_etl_dlt_spark.functions.html import with_extracted_text
+from patuha_etl_dlt_spark.functions.sanitize import sanitize_columns
+from patuha_etl_dlt_spark.lake.table import SYS_EVENT, LakeTable
+
+
+@dataclass
+class EngineConfig:
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+    partition_col: str = "partition_id"
+    schema_col: str = "schema_json"
+    html_col: str = "html"
+    text_col: str = "text"
+    extract_text: bool = True
+    sanitize: bool = True
+    # columns never sanitized: merge keys (null keys are dropped with a
+    # metric, not coerced) and extracted text (byte-identity contract)
+    sanitize_exclude: tuple[str, ...] = ()
+
+
+class CdcEngine:
+    def __init__(self, table: LakeTable, checkpoints: CheckpointStore, config: EngineConfig | None = None):
+        self.table = table
+        self.cp = checkpoints
+        self.cfg = config or EngineConfig()
+
+    # ------------------------------------------------------------ plumbing
+
+    def _filter_new(self, events: DataFrame) -> DataFrame:
+        """Drop events at or below the checkpointed per-partition offset —
+        the reference's cursor predicate ``WHERE modifier > :ts``
+        (pipeline_management.py:149) generalized to per-partition LSNs.
+        Implemented as a broadcast join against the (tiny) offsets map."""
+        offsets = self.cp.offsets()
+        if not offsets:
+            return events
+        spark = events.sparkSession
+        odf = spark.createDataFrame(
+            [(int(p), int(l)) for p, l in offsets.items()],
+            f"{self.cfg.partition_col} int, _offset long",
+        )
+        return (
+            events.join(F.broadcast(odf), self.cfg.partition_col, "left")
+            .filter(F.col(self.cfg.lsn_col) > F.coalesce(F.col("_offset"), F.lit(-1)))
+            .drop("_offset")
+        )
+
+    def _new_offsets(self, events: DataFrame) -> dict[int, int]:
+        rows = (
+            events.groupBy(self.cfg.partition_col)
+            .agg(F.max(self.cfg.lsn_col).alias("m"))
+            .collect()
+        )
+        return {int(r[0]): int(r[1]) for r in rows}
+
+    def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
+        cfg = self.cfg
+        df = events
+        # events minted before a rename still carry the old column name;
+        # remap (or coalesce when both generations coexist in one batch)
+        for op in renames:
+            if op.kind != "rename":
+                continue
+            if op.name in df.columns and op.new_name in df.columns:
+                df = df.withColumn(op.new_name, F.coalesce(F.col(op.new_name), F.col(op.name))).drop(op.name)
+            elif op.name in df.columns:
+                df = df.withColumnRenamed(op.name, op.new_name)
+        if cfg.sanitize:
+            keys = tuple(self.table.snapshot.key_cols)
+            df = sanitize_columns(
+                df, exclude=keys + (cfg.text_col, cfg.op_col, cfg.schema_col) + cfg.sanitize_exclude
+            )
+        if cfg.extract_text and cfg.html_col in df.columns and cfg.text_col in df.columns:
+            df = with_extracted_text(df, cfg.html_col, cfg.text_col)
+        df = df.withColumnRenamed(cfg.lsn_col, SYS_EVENT)
+        keep = [c for c in df.columns if c not in (cfg.partition_col, cfg.schema_col)]
+        return df.select(*keep)
+
+    # ------------------------------------------------------------- apply
+
+    def apply_batch(self, events: DataFrame, batch_id: str | None = None) -> dict:
+        """Apply one change-event micro-batch exactly once."""
+        batch_id = batch_id or uuid.uuid4().hex
+        t0 = time.time()
+
+        if self.table.has_batch(batch_id):
+            # crash healed: MERGE landed, offsets may not have — recompute
+            # them from the batch and re-commit the checkpoint (idempotent).
+            new_off = self._new_offsets(events)
+            if not self.cp.has_batch(batch_id):
+                self.cp.commit(batch_id, new_off, {"skipped_merge": True})
+            return {"skipped": True, "batch_id": batch_id}
+
+        fresh = self._filter_new(events).persist()
+        try:
+            renames = evolution.evolve_table(self.table, fresh, self.cfg.schema_col)
+            delta = self._prepare_delta(fresh, renames)
+            metrics = self.table.merge(delta, batch_id=batch_id, op_col=self.cfg.op_col)
+            new_off = self._new_offsets(fresh)
+        finally:
+            fresh.unpersist()
+        metrics["evolution_ops"] = [
+            {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
+            for o in renames
+        ]
+        metrics["seconds"] = round(time.time() - t0, 3)
+        self.cp.commit(batch_id, new_off, metrics)
+        return metrics
+
+    def seed_snapshot(self, snapshot_df: DataFrame, batch_id: str = "seed") -> dict:
+        """Initial full load — the reference's full-refresh/replace path
+        (pipeline_management.py:1225-1506) as one overwrite commit."""
+        m = self.table.overwrite(snapshot_df, batch_id=batch_id)
+        if not m.get("skipped"):
+            self.cp.commit(batch_id, {}, m)
+        return m
+
+    # --------------------------------------------------------------- loop
+
+    def run(self, batch_source, interval_s: float = 0.0, max_batches: int | None = None) -> list[dict]:
+        """Continuous micro-cycle loop (reference: ``db_pipeline.py:75-94``,
+        ``while True: sync; sleep(INTERVAL)``). ``batch_source`` yields
+        (batch_id, DataFrame) pairs; returns per-batch metrics."""
+        out = []
+        for i, (batch_id, df) in enumerate(batch_source):
+            out.append(self.apply_batch(df, batch_id))
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+            if interval_s:
+                time.sleep(interval_s)
+        return out

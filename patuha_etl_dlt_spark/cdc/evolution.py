@@ -1,0 +1,78 @@
+"""Schema evolution: envelope descriptor → lake-table metadata ops.
+
+The engine diffs each distinct ``schema_json`` in a batch against the
+target table schema **by field id** and applies, in order: type widenings,
+renames, then added columns. Reference analog: source-vs-target
+INFORMATION_SCHEMA diff + ``ALTER TABLE ADD COLUMN``
+(``/root/reference/source/schema_management.py:11-57``) — add-only and
+name-based; columns are never dropped (``README.MD:395``), a rule we keep.
+
+Scale note: ``distinct(schema_json)`` over a batch is a tiny aggregation
+(a handful of distinct descriptors per batch at worst); the resulting DDL
+is metadata-only, so evolution costs no data rewrite at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.cdc.envelope import parse_descriptor
+from patuha_etl_dlt_spark.lake.metadata import WIDENINGS, Schema
+from patuha_etl_dlt_spark.lake.table import LakeTable
+
+
+@dataclass(frozen=True)
+class EvolutionOp:
+    kind: str  # 'add' | 'rename' | 'widen'
+    name: str
+    new_name: str | None = None
+    typ: str | None = None
+
+
+def diff_schemas(current: Schema, incoming: Schema) -> list[EvolutionOp]:
+    """Ops to evolve ``current`` so it can hold ``incoming`` payloads."""
+    ops: list[EvolutionOp] = []
+    for f in incoming.fields:
+        cur = current.field_by_id(f.id)
+        if cur is None:
+            ops.append(EvolutionOp("add", f.name, typ=f.type))
+            continue
+        if cur.type != f.type:
+            if f.type in WIDENINGS.get(cur.type, set()):
+                ops.append(EvolutionOp("widen", cur.name, typ=f.type))
+            else:
+                raise ValueError(
+                    f"incompatible type change for field id {f.id} "
+                    f"({cur.name}): {cur.type} -> {f.type}"
+                )
+        if cur.name != f.name:
+            ops.append(EvolutionOp("rename", cur.name, new_name=f.name))
+    return ops
+
+
+def evolve_table(table: LakeTable, events: DataFrame, schema_col: str = "schema_json") -> list[EvolutionOp]:
+    """Detect envelope schemas in ``events`` and evolve ``table``. Returns
+    the ops applied (renames are applied with their pre-rename names, so
+    callers can remap delta columns that still carry old names)."""
+    if schema_col not in events.columns:
+        return []
+    descriptors = [
+        r[0]
+        for r in events.select(schema_col).filter(F.col(schema_col).isNotNull()).distinct().collect()
+    ]
+    applied: list[EvolutionOp] = []
+    # deterministic order: ascending max field id ⇒ older descriptors first
+    for d in sorted(set(descriptors), key=lambda s: (parse_descriptor(s).max_id, s)):
+        incoming = parse_descriptor(d)
+        for op in diff_schemas(table.schema, incoming):
+            if op.kind == "add":
+                table.add_column(op.name, op.typ)
+            elif op.kind == "widen":
+                table.widen_column(op.name, op.typ)
+            elif op.kind == "rename":
+                table.rename_column(op.name, op.new_name)
+            applied.append(op)
+    return applied

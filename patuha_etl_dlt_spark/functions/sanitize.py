@@ -1,0 +1,58 @@
+"""Value sanitizers — native-column re-expression of the reference's
+per-row Python sanitizer (``/root/reference/source/data_processing.py:43-110``,
+operators F2-F7 in SURVEY.md §2.8).
+
+Everything here is built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_STRING_BYTES = 1_048_576  # 1 MB truncation threshold (data_processing.py:85-87)
+TRUNCATION_MARKER = "...[TRUNCATED]"
+
+
+def clean_string(c: Column) -> Column:
+    """F2 (empty/whitespace → NULL), F3 (NUL-byte strip), F7 (>1 MB truncate
+    + marker). Matches data_processing.py:61-87 semantics."""
+    stripped = F.regexp_replace(c, "\x00", "")
+    truncated = F.when(
+        F.length(stripped) > MAX_STRING_BYTES,
+        F.concat(F.substring(stripped, 1, MAX_STRING_BYTES), F.lit(TRUNCATION_MARKER)),
+    ).otherwise(stripped)
+    return F.when(F.trim(truncated) == "", F.lit(None)).otherwise(truncated)
+
+
+def clean_timestamp(c: Column) -> Column:
+    """F4/F5 (zero dates → NULL): MySQL `0000-00-00` parses as year ≤ 0 or
+    fails; anything with year < 1 is nulled (data_processing.py:76-92)."""
+    return F.when(F.year(c) < 1, F.lit(None)).otherwise(c)
+
+
+def nan_inf_to_null(c: Column) -> Column:
+    """F6: NaN/±Inf → NULL (data_processing.py:95-98)."""
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
+
+
+def sanitize_columns(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Apply type-appropriate sanitizers to every column (schema-driven, not
+    name-driven — improving on the reference's `_at`/`_date` column-name
+    heuristic, data_processing.py:76-82)."""
+    out = []
+    for f in df.schema.fields:
+        col = F.col(f.name)
+        if f.name in exclude:
+            out.append(col)
+        elif isinstance(f.dataType, T.StringType):
+            out.append(clean_string(col).alias(f.name))
+        elif isinstance(f.dataType, T.TimestampType):
+            out.append(clean_timestamp(col).alias(f.name))
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            out.append(nan_inf_to_null(col).alias(f.name))
+        else:
+            out.append(col)
+    return df.select(*out)

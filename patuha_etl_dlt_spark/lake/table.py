@@ -88,11 +88,12 @@ class LakeTable:
         if order_col not in names:
             raise ValueError(f"order column {order_col!r} not in columns")
         fields = [Field(i + 1, n, t) for i, (n, t) in enumerate(columns)]
-        nid = len(fields)
+        # system columns get reserved NEGATIVE ids so they can never collide
+        # with payload field ids from event-envelope schema descriptors
         fields += [
-            Field(nid + 1, SYS_DELETED, "boolean"),
-            Field(nid + 2, SYS_BATCH, "string"),
-            Field(nid + 3, SYS_EVENT, "long"),
+            Field(-1, SYS_DELETED, "boolean"),
+            Field(-2, SYS_BATCH, "string"),
+            Field(-3, SYS_EVENT, "long"),
         ]
         schema = Schema.of(fields)
         snap = Snapshot(

@@ -1,0 +1,217 @@
+"""End-to-end CDC engine tests: replay equivalence, exactly-once,
+schema evolution, byte-identical extraction.
+
+These implement the reference's *intended* test plan (TRD.md:874-932 names
+test_incremental_sync_with_error_recovery / test_schema_evolution_with_
+validation / test_composite_primary_key_handling; no tests were shipped —
+SURVEY.md §5) plus the north-rule invariants from BASELINE.json."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.cdc import CdcEngine, CheckpointStore
+from patuha_etl_dlt_spark.cdc.engine import EngineConfig
+from patuha_etl_dlt_spark.cdc.envelope import PAGES_COLUMNS, event_struct, schema_descriptor
+from patuha_etl_dlt_spark.functions.html import extract_text_bytes
+from patuha_etl_dlt_spark.lake import LakeTable
+from patuha_etl_dlt_spark.sources.feedgen import FeedSpec, generate_pandas, split_batches
+
+SPEC = FeedSpec(n_urls=300, n_events=3000, n_partitions=4, seed=42)
+
+
+def make_engine(spark, tmp_path, name="pages", buckets=8) -> CdcEngine:
+    t = LakeTable.create(
+        spark, str(tmp_path / name), PAGES_COLUMNS, key_cols="url", order_col="warc_ts", num_buckets=buckets
+    )
+    return CdcEngine(t, CheckpointStore(str(tmp_path / f"{name}_cp")))
+
+
+def sanitize_lang(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    v = str(v).replace("\x00", "")
+    return None if v.strip() == "" else v
+
+
+def oracle_state(pdf: pd.DataFrame) -> dict:
+    """Global LWW winner per url by (warc_ts, lsn); delete winners absent;
+    text recomputed from html by the same pure function the UDF uses."""
+    best: dict = {}
+    for r in pdf.itertuples(index=False):
+        tsv = r.warc_ts if pd.notna(r.warc_ts) else pd.Timestamp("1970-01-01")
+        cand = (tsv, r.lsn)
+        if r.url not in best or cand > best[r.url][0]:
+            best[r.url] = (cand, r)
+    out = {}
+    for u, (_, r) in best.items():
+        if r.op == "D":
+            continue
+        out[u] = (extract_text_bytes(r.html), sanitize_lang(r.lang))
+    return out
+
+
+def table_state(t: LakeTable) -> dict:
+    return {r["url"]: (r["text"], r["lang"]) for r in t.read().collect()}
+
+
+def to_df(spark, pdf):
+    return spark.createDataFrame(pdf, schema=event_struct())
+
+
+@pytest.fixture(scope="module")
+def feed():
+    return generate_pandas(SPEC)
+
+
+def test_single_batch_apply_matches_oracle(spark, tmp_path, feed):
+    eng = make_engine(spark, tmp_path)
+    m = eng.apply_batch(to_df(spark, feed), batch_id="all")
+    assert m["events_applied"] > 0
+    assert table_state(eng.table) == oracle_state(feed)
+    # checkpoint advanced for every partition
+    assert set(eng.cp.offsets()) == set(feed["partition_id"].unique().astype(int))
+
+
+def test_batched_apply_matches_oracle_and_replay_converges(spark, tmp_path, feed):
+    batches = split_batches(feed, 5)
+    eng = make_engine(spark, tmp_path)
+    for i, b in enumerate(batches):
+        eng.apply_batch(to_df(spark, b), batch_id=f"b{i}")
+    want = oracle_state(feed)
+    assert table_state(eng.table) == want
+
+    # replay from checkpoint: a fresh engine instance over the same state
+    # re-delivered the whole feed → pure no-op, state unchanged
+    eng2 = CdcEngine(eng.table, eng.cp)
+    for i, b in enumerate(batches):
+        eng2.apply_batch(to_df(spark, b), batch_id=f"replay{i}")
+    assert table_state(eng2.table) == want
+
+
+def test_restart_from_mid_checkpoint(spark, tmp_path, feed):
+    batches = split_batches(feed, 4)
+    eng = make_engine(spark, tmp_path)
+    for i in (0, 1):
+        eng.apply_batch(to_df(spark, batches[i]), batch_id=f"b{i}")
+    # "crash"; resume with a new engine over the same table+checkpoint,
+    # with re-delivery overlapping already-applied data (at-least-once feed)
+    eng2 = CdcEngine(eng.table, eng.cp)
+    redelivery = pd.concat([batches[1], batches[2], batches[3]], ignore_index=True)
+    eng2.apply_batch(to_df(spark, redelivery), batch_id="resume")
+    assert table_state(eng2.table) == oracle_state(feed)
+
+
+def test_crash_between_merge_and_checkpoint_heals(spark, tmp_path, feed):
+    batches = split_batches(feed, 3)
+    eng = make_engine(spark, tmp_path)
+    eng.apply_batch(to_df(spark, batches[0]), batch_id="b0")
+
+    # simulate crash: MERGE commits but the checkpoint write never happens
+    fresh = eng._filter_new(to_df(spark, batches[1]))
+    delta = eng._prepare_delta(fresh, [])
+    eng.table.merge(delta, batch_id="b1")
+    assert eng.table.has_batch("b1") and not eng.cp.has_batch("b1")
+
+    # restart: same batch re-delivered → merge skipped, checkpoint healed
+    m = CdcEngine(eng.table, eng.cp).apply_batch(to_df(spark, batches[1]), batch_id="b1")
+    assert m["skipped"] is True
+    assert eng.cp.has_batch("b1")
+
+    CdcEngine(eng.table, eng.cp).apply_batch(to_df(spark, batches[2]), batch_id="b2")
+    assert table_state(eng.table) == oracle_state(feed)
+
+
+def test_duplicate_delivery_and_dup_lsn_within_batch(spark, tmp_path):
+    spec = FeedSpec(n_urls=50, n_events=500, dup_rate=0.2, seed=7)
+    feed = generate_pandas(spec)
+    eng = make_engine(spark, tmp_path)
+    for i, b in enumerate(split_batches(feed, 3)):
+        eng.apply_batch(to_df(spark, b), batch_id=f"b{i}")
+    assert table_state(eng.table) == oracle_state(feed)
+
+
+def test_byte_identical_text_extraction(spark, tmp_path, feed):
+    eng = make_engine(spark, tmp_path)
+    eng.apply_batch(to_df(spark, feed), batch_id="all")
+    got = {r["url"]: r["text"] for r in eng.table.read().select("url", "text").collect()}
+    want = {u: t for u, (t, _) in oracle_state(feed).items()}
+    assert got == want  # byte-identical per url (string equality on utf-8 text)
+
+
+def test_schema_evolution_from_envelope(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    base = generate_pandas(FeedSpec(n_urls=40, n_events=200, p_delete=0.0, edge_cases=False))
+    eng.apply_batch(to_df(spark, base), batch_id="b0")
+
+    # evolved stream: add content_type(id 6), rename lang->language (id 5),
+    # widen nothing yet
+    desc2 = schema_descriptor(
+        [(1, "url", "string"), (2, "warc_ts", "timestamp"), (3, "html", "binary"),
+         (4, "text", "string"), (5, "language", "string"), (6, "content_type", "string")]
+    )
+    ev2 = base.copy().iloc[:50]
+    ev2["lsn"] = ev2["lsn"] + 10_000
+    ev2["warc_ts"] = ev2["warc_ts"] + pd.Timedelta(days=10)
+    ev2["schema_json"] = desc2
+    ev2 = ev2.rename(columns={"lang": "language"})
+    ev2["language"] = "sv"
+    ev2["content_type"] = "text/html"
+    cols = ["lsn", "op", "url", "warc_ts", "html", "text", "language", "content_type", "partition_id", "schema_json"]
+    df2 = spark.createDataFrame(
+        ev2[cols],
+        "lsn long, op string, url string, warc_ts timestamp, html binary, text string, "
+        "language string, content_type string, partition_id int, schema_json string",
+    )
+    m = eng.apply_batch(df2, batch_id="b1")
+    kinds = {(o["kind"], o["name"]) for o in m["evolution_ops"]}
+    assert ("rename", "lang") in kinds and ("add", "content_type") in kinds
+
+    rows = {r["url"]: r for r in eng.table.read().collect()}
+    assert eng.table.snapshot.key_cols == ["url"]
+    evolved_urls = set(ev2["url"])
+    some_old = next(u for u in rows if u not in evolved_urls)
+    some_new = next(u for u in rows if u in evolved_urls)
+    assert rows[some_new]["language"] == "sv" and rows[some_new]["content_type"] == "text/html"
+    assert rows[some_old]["content_type"] is None
+    assert rows[some_old]["language"] in ("en", "de", "fr", "id", None)  # old files id-mapped
+
+
+def test_type_widen_from_envelope(spark, tmp_path):
+    cols = [("url", "string"), ("warc_ts", "timestamp"), ("hits", "int")]
+    t = LakeTable.create(spark, str(tmp_path / "t"), cols, "url", "warc_ts", num_buckets=2)
+    eng = CdcEngine(t, CheckpointStore(str(tmp_path / "cp")), EngineConfig(extract_text=False))
+    d1 = schema_descriptor([(1, "url", "string"), (2, "warc_ts", "timestamp"), (3, "hits", "int")])
+    df1 = spark.createDataFrame(
+        [(0, "I", "a", dt.datetime(2026, 1, 1), 5, 0, d1)],
+        "lsn long, op string, url string, warc_ts timestamp, hits int, partition_id int, schema_json string",
+    )
+    eng.apply_batch(df1, batch_id="b0")
+    d2 = schema_descriptor([(1, "url", "string"), (2, "warc_ts", "timestamp"), (3, "hits", "long")])
+    df2 = spark.createDataFrame(
+        [(1, "I", "b", dt.datetime(2026, 1, 2), 2**40, 0, d2)],
+        "lsn long, op string, url string, warc_ts timestamp, hits long, partition_id int, schema_json string",
+    )
+    eng.apply_batch(df2, batch_id="b1")
+    got = {r["url"]: r["hits"] for r in t.read().collect()}
+    assert got == {"a": 5, "b": 2**40}
+    assert dict(t.read().dtypes)["hits"] == "bigint"
+
+
+def test_seed_snapshot_then_incremental(spark, tmp_path, feed):
+    eng = make_engine(spark, tmp_path)
+    # full-refresh seed with the oracle state of the first half (replace path)
+    half = feed.iloc[: len(feed) // 2]
+    snap_df = spark.createDataFrame(
+        [(u, None, None, t, l) for u, (t, l) in oracle_state(half).items()],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    eng.seed_snapshot(snap_df, batch_id="seed")
+    assert len(table_state(eng.table)) == len(oracle_state(half))
+    # snapshot seeding is idempotent too
+    m = eng.seed_snapshot(snap_df, batch_id="seed")
+    assert m["skipped"] is True

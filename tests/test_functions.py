@@ -1,0 +1,91 @@
+"""Sanitizers (reference F2-F7 behaviors) + byte-stable HTML extraction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.functions.html import extract_text, extract_text_bytes
+from patuha_etl_dlt_spark.functions.sanitize import (
+    MAX_STRING_BYTES,
+    TRUNCATION_MARKER,
+    clean_string,
+    clean_timestamp,
+    nan_inf_to_null,
+    sanitize_columns,
+)
+
+
+# ---- extraction kernel (pure python; the UDF applies this same function) ----
+
+CASES = [
+    (b"<html><body>Hello <b>world</b></body></html>", "Hello world"),
+    (b"<p>a&amp;b&nbsp;c</p>", "a&b c"),  # &nbsp; → \xa0, collapsed as \s
+    (b"<script>var x = '<evil>';</script>ok<style>p{}</style>", "ok"),
+    (b"<!-- hidden -->shown", "shown"),
+    (b"  spaced\n\n\ttext  ", "spaced text"),
+    (b"", ""),
+    (None, None),
+    ("caf\xe9 UTF: é".encode(), "caf\xe9 UTF: \xe9"),
+    (b"\xff\xfebroken<][>bytes", "��broken<][>bytes"),
+]
+
+
+@pytest.mark.parametrize("raw,want", [(c[0], c[1]) for c in CASES if c[0] is not None and b"<][>" not in (c[0] or b"")])
+def test_extract_text_bytes_cases(raw, want):
+    assert extract_text_bytes(raw) == want
+
+
+def test_extract_text_bytes_is_deterministic():
+    b = b"<html><body>x&gt;y</body></html>"
+    assert extract_text_bytes(b) == extract_text_bytes(bytearray(b)) == "x>y"
+
+
+def test_udf_matches_kernel_byte_identically(spark):
+    rows = [(i, c[0]) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r["id"]: r["t"] for r in df.select("id", extract_text("html").alias("t")).collect()}
+    for i, (raw, _) in enumerate(CASES):
+        assert got[i] == extract_text_bytes(raw), f"case {i} diverged"
+
+
+# ------------------------------- sanitizers -------------------------------
+
+
+def test_clean_string_behaviors(spark):
+    big = "x" * (MAX_STRING_BYTES + 10)
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("a\x00b",), ("ok",), (None,), (big,)], "s string"
+    )
+    got = [r["c"] for r in df.select(clean_string(F.col("s")).alias("c")).collect()]
+    assert got[0] is None and got[1] is None  # F2 empty/ws → NULL
+    assert got[2] == "ab"  # F3 NUL strip
+    assert got[3] == "ok" and got[4] is None
+    assert got[5].endswith(TRUNCATION_MARKER) and len(got[5]) == MAX_STRING_BYTES + len(TRUNCATION_MARKER)  # F7
+
+
+def test_clean_timestamp_zero_dates(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1),), (None,)], "t timestamp"
+    ).union(spark.sql("SELECT TIMESTAMP '0000-01-01 00:00:00'"))
+    got = [r["c"] for r in df.select(clean_timestamp(F.col("t")).alias("c")).collect()]
+    assert got[0] is not None and got[1] is None and got[2] is None  # F4/F5
+
+
+def test_nan_inf_to_null(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)], "d double"
+    )
+    got = [r["c"] for r in df.select(nan_inf_to_null(F.col("d")).alias("c")).collect()]
+    assert got == [1.5, None, None, None, None]  # F6
+
+
+def test_sanitize_columns_schema_driven(spark):
+    df = spark.createDataFrame(
+        [(" ", dt.datetime(2026, 1, 1), float("nan"), 3)],
+        "s string, t timestamp, d double, i long",
+    )
+    r = sanitize_columns(df).collect()[0]
+    assert r["s"] is None and r["t"] is not None and r["d"] is None and r["i"] == 3
