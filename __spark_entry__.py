@@ -1,38 +1,603 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query here is implemented through the ``patuha_etl_dlt_spark``
+package (the engine under test) and paired with an ANSI-SQL oracle DuckDB
+runs on the same parquet. Column names/aliases match exactly between the
+Spark result and the oracle (the driver's compare is order-insensitive but
+name/value-sensitive). Floating aggregates are computed in DECIMAL then
+rounded and cast to DOUBLE on both sides so value hashes are stable.
+
+Query groups (SURVEY.md §2 operator inventory):
+- cdc_*        : the CDC engine surface (S1-S5, P1, A1-A5, J1/J2, C1-C5, F2-F7)
+- tpch_* / join/window/set queries: general relational coverage (O1-O2, §2.3-2.7)
+- doc_* / dedup_* / ann_* / media_*: training-data pipeline operators
+  (dedup tiers, similarity search, text analysis, multimodal plumbing)
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_salted, lww_window
+from patuha_etl_dlt_spark.functions.sanitize import clean_string
+from patuha_etl_dlt_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    normalize_text,
+    quality_features,
+    token_count,
+)
+from patuha_etl_dlt_spark.lake import LakeTable
+from patuha_etl_dlt_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from patuha_etl_dlt_spark.operators.multimodal import decode_media
+from patuha_etl_dlt_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+WM = "2024-01-15 00:00:00"  # events watermark literal (feed spans 2024-01)
+Q1_DATE = "2000-12-01 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,6)")
+
+
+def _r4d(c):
+    return F.round(c, 4).cast("double")
+
+
+# --------------------------------------------------------------------------
+# CDC family (events: event_id, ts, user_id, event_type, value, props)
+# --------------------------------------------------------------------------
+
+def _lww_cols():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.col("user_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    ]
+
+_LWW_ORACLE = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def cdc_lww_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_window(ev, ["user_id"], ["ts", "event_id"]).select(*_lww_cols())
+
+
+def cdc_lww_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_agg(ev, ["user_id"], ["ts", "event_id"]).select(*_lww_cols())
+
+
+def cdc_lww_salted(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_salted(ev, ["user_id"], ["ts", "event_id"], n_salt=8).select(*_lww_cols())
+
+
+def cdc_apply_deletes_lake(spark, sf_dir):
+    """Flagship: the real engine end-to-end — events become I/U/D changes
+    ('error' ⇒ delete), applied through LakeTable.merge in three batches;
+    returns the final table state."""
+    ev = _t(spark, sf_dir, "events")
+    delta = ev.withColumnRenamed("event_id", "_event_id").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    root = tempfile.mkdtemp(prefix="entry_lake_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("ts", "timestamp"), ("event_type", "string"),
+         ("value", "double"), ("props", "string")],
+        key_cols="user_id",
+        order_col="ts",
+        num_buckets=8,
+    )
+    for i in range(3):
+        t.merge(
+            delta.filter(F.col("_event_id") % 3 == i),
+            batch_id=f"b{i}",
+            collect_metrics=False,
+        )
+    return t.read().select("user_id", "ts", "event_type", "value", "props")
+
+
+_APPLY_ORACLE = """
+SELECT user_id, ts, event_type, value, props
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def cdc_incremental_scan(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit(WM).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 4).cast("double").alias("total_value"),
+        )
+    )
+
+
+def cdc_watermark(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n"))
+
+
+def cdc_new_records_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") > F.lit(WM).cast("timestamp")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+
+
+def cdc_op_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cdc_users_per_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+def cdc_sanitize_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id", clean_string(F.col("props")).alias("props_clean")
+    )
+
+
+def events_hourly_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 4).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+
+def tpch_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(Q1_DATE).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(_dec("l_quantity")), 4).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def topk_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    tot = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("custkey"))
+    return tot.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+def window_order_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_orderkey", "o_custkey", "rnk")
+    )
+
+
+def anti_join_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")).distinct()
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.join(open_, "custkey", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + dedup
+# --------------------------------------------------------------------------
+
+
+def doc_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select("doc_id", *[feats[k].alias(k) for k in feats])
+
+
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicate_groups(d, "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).withColumn(
+        "jaccard", F.col("jaccard").cast("double")
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n_hashes=64, bands=16, verify_threshold=0.5).withColumn(
+        "jaccard", F.col("jaccard").cast("double")
+    )
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dim=64)
+
+
+# --------------------------------------------------------------------------
+# multimodal (binary payload plumbing; decode kernel stubbed deterministic)
+# --------------------------------------------------------------------------
+
+
+def multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.ascii(F.col("text")).alias("first_cp"),
+    )
+
+
+def media_decode_stub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_media(media).select(
+        "media_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect) for the text formulas
+# --------------------------------------------------------------------------
+
+
+def _sql_occ(s: str, sub: str) -> str:
+    return f"((length({s}) - length(replace({s}, '{sub}', ''))) // {len(sub)})"
+
+
+def _sql_word_occ(text: str, word: str) -> str:
+    padded = f"(' ' || replace({text}, ' ', '  ') || ' ')"
+    return _sql_occ(padded, f" {word} ")
+
+
+def _sql_stop_count(text: str, lang: str) -> str:
+    return " + ".join(_sql_word_occ(text, w) for w in LANG_STOPWORDS[lang])
+
+
+def _sql_token_count(text: str) -> str:
+    return (
+        f"CASE WHEN {text} IS NULL THEN NULL "
+        f"WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({text}), '\\s+')) END"
+    )
+
+
+def _sql_punct(text: str) -> str:
+    from patuha_etl_dlt_spark.functions.sanitize import MAX_STRING_BYTES  # noqa: F401
+    from patuha_etl_dlt_spark.functions.text import PUNCT_CHARS
+
+    return " + ".join(_sql_occ(text, ch) for ch in PUNCT_CHARS)
+
+
+def _quality_sql() -> str:
+    """Mirror of quality_features — pure integer arithmetic (// division),
+    so values are bit-identical across engines by construction."""
+    t = "text"
+    n_tokens = _sql_token_count(t)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {n_tokens} AS n_tokens,
+         length(replace(text, ' ', '')) AS cns,
+         {_sql_stop_count(t, 'en')} AS stop_cnt,
+         {_sql_punct(t)} AS punct_cnt
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, n_tokens,
+         (cns * 1000) // nullif(n_tokens, 0) AS mean_token_len_milli,
+         (stop_cnt * 10000) // nullif(n_tokens, 0) AS stopword_per_10k,
+         (punct_cnt * 10000) // nullif(n_chars, 0) AS punct_per_10k
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len_milli, stopword_per_10k, punct_per_10k,
+       (least((n_tokens * 10000) // 64, 10000) * 5
+        + least(coalesce(stopword_per_10k, 0) * 4, 10000) * 3
+        + least((coalesce(mean_token_len_milli, 0) * 10) // 8, 10000) * 2) // 10 AS quality_bp
+FROM g
+"""
+
+
+def _lang_sql() -> str:
+    t = "text"
+    scores = {lang: _sql_stop_count(t, lang) for lang in LANG_STOPWORDS}
+    sel = ", ".join(f"({s}) AS score_{lang}" for lang, s in scores.items())
+    return f"""
+WITH s AS (SELECT doc_id, {sel} FROM documents)
+SELECT doc_id, score_en, score_de, score_fr, score_id,
+       CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_id = 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_id THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_id THEN 'de'
+            WHEN score_fr >= score_id THEN 'fr'
+            ELSE 'id' END AS lang_pred
+FROM s
+"""
+
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_JACCARD_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4)::DOUBLE AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = common.id_a
+JOIN sizes sb ON sb.doc_id = common.id_b
+WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.5
+"""
+
+_ANN_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.qe, v.e)
+           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6)::DOUBLE AS cosine FROM r WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return cdc_apply_deletes_lake(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine surface
+        "cdc_lww_window": cdc_lww_window,
+        "cdc_lww_agg": cdc_lww_agg,
+        "cdc_lww_salted": cdc_lww_salted,
+        "cdc_apply_deletes_lake": cdc_apply_deletes_lake,
+        "cdc_incremental_scan": cdc_incremental_scan,
+        "cdc_watermark": cdc_watermark,
+        "cdc_new_records_count": cdc_new_records_count,
+        "cdc_op_counts": cdc_op_counts,
+        "cdc_users_per_type": cdc_users_per_type,
+        "cdc_sanitize_props": cdc_sanitize_props,
+        "events_hourly_rollup": events_hourly_rollup,
+        # relational coverage
+        "tpch_q1": tpch_q1,
+        "revenue_by_nation": revenue_by_nation,
+        "topk_customers": topk_customers,
+        "window_order_rank": window_order_rank,
+        "anti_join_customers": anti_join_customers,
+        # documents: text analysis + dedup tiers
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        # embeddings: similarity search
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        # multimodal
+        "multimodal_meta": multimodal_meta,
+        "media_decode_stub": media_decode_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles. Omitted (rows-only check): dedup_minhash_lsh,
+    dedup_simhash_pairs, ann_lsh_topk (LSH bucketing — approximate/
+    hash-seeded), media_decode_stub (mapInPandas decode kernel)."""
+    return {
+        "cdc_lww_window": _LWW_ORACLE,
+        "cdc_lww_agg": _LWW_ORACLE,
+        "cdc_lww_salted": _LWW_ORACLE,
+        "cdc_apply_deletes_lake": _APPLY_ORACLE,
+        "cdc_incremental_scan": f"""
+            SELECT event_type, count(*) AS n,
+                   round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value
+            FROM events WHERE ts > TIMESTAMP '{WM}' GROUP BY event_type
+        """,
+        "cdc_watermark": "SELECT max(ts) AS max_ts, count(*) AS n FROM events",
+        "cdc_new_records_count": f"SELECT count(*) AS n_new FROM events WHERE ts > TIMESTAMP '{WM}'",
+        "cdc_op_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "cdc_users_per_type": "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+        "cdc_sanitize_props": """
+            SELECT event_id,
+                   CASE WHEN trim(replace(props, chr(0), '')) = '' THEN NULL
+                        ELSE replace(props, chr(0), '') END AS props_clean
+            FROM events WHERE event_id < 500
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                   round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_base_price,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS sum_disc_price,
+                   round(avg(CAST(l_quantity AS DECIMAL(18,6))), 4)::DOUBLE AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_DATE}'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, r_name,
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "topk_customers": """
+            SELECT custkey, total, rnk FROM (
+              SELECT custkey, total,
+                     row_number() OVER (ORDER BY total DESC, custkey) AS rnk
+              FROM (SELECT o_custkey AS custkey,
+                           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total
+                    FROM orders GROUP BY o_custkey))
+            WHERE rnk <= 10
+        """,
+        "window_order_rank": """
+            SELECT o_orderkey, o_custkey, rnk FROM (
+              SELECT o_orderkey, o_custkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+              FROM orders)
+            WHERE rnk <= 2
+        """,
+        "anti_join_customers": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders o1
+            WHERE o_orderstatus = 'F'
+              AND NOT EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderstatus = 'O')
+        """,
+        "doc_token_count": f"SELECT doc_id, {_sql_token_count('text')} AS n_tokens FROM documents",
+        "doc_quality": _quality_sql(),
+        "doc_lang_id": _lang_sql(),
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "dedup_exact_docs": f"""
+            SELECT min(doc_id) AS canonical_id, count(*) AS n_docs, md5(norm) AS fingerprint
+            FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+            GROUP BY norm
+        """,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes, ascii(text) AS first_cp
+            FROM documents
+        """,
+    }

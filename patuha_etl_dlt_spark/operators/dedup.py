@@ -1,0 +1,219 @@
+"""Deduplication operators over document tables — the four standard tiers.
+
+Scale notes (the point of each design):
+
+- **exact**: one hash-groupBy; map-side combine makes duplicates nearly
+  free. Normalization is whitespace+case canonicalization.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted-index
+  self-join on shingles — NOT an O(n²) cross join. Shuffle width is
+  Σ df(shingle)²; pass ``max_df`` to drop stop-shingles at scale (with a
+  recall caveat, documented below).
+- **MinHash + LSH**: the 100 TB path. Per-doc signatures (k min-hashes,
+  all computed in one groupBy with k ``min`` aggregates — map-side
+  combined), banded into buckets; only same-bucket docs meet in the join.
+  Candidates are verified with exact Jaccard so precision is 1.0 and
+  recall is the LSH S-curve.
+- **SimHash**: 64-bit near-dup fingerprint; Hamming-ball pairs found by
+  splitting the fingerprint into bands (pigeonhole: distance ≤ k ⇒ some
+  band of k+1 equal).
+
+All hashing is ``xxhash64`` / affine rehashes — deterministic across
+runs, executors, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.functions.text import normalize_text
+
+# 31-bit Mersenne prime: affine rehash products stay < 2^62, so the modular
+# arithmetic never overflows a long (Spark 4 runs ANSI mode — overflow throws)
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates after normalization: one row per distinct
+    normalized text with its canonical (min) id and member count."""
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("canonical_id", "n_docs", F.md5("norm").alias("fingerprint"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Sliding window
+    over the token array via transform(sequence(...)) — JVM-side, no UDF."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥
+    threshold) via inverted-index join.
+
+    ``max_df``: optionally drop shingles appearing in more than max_df docs
+    (stop-shingles). This bounds the join fan-out at scale but can lose
+    pairs whose every common shingle is frequent — leave None for exact
+    semantics (the oracle-checked mode)."""
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    joined = sh
+    if max_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_df
+        )
+        joined = sh.join(rare.select("shingle"), "shingle", "semi")
+    a = joined.select(F.col("id").alias("id_a"), "shingle")
+    b = joined.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_exprs(base, k: int, seed: int = 1):
+    """k affine rehashes of the base hash over the Mersenne prime 2^31-1
+    (deterministic; a_i nonzero ⇒ bijection mod p)."""
+    exprs = []
+    base_mod = base % F.lit(MERSENNE_P)
+    for i in range(k):
+        a = (2 * (seed * 1_000_003 + i * 7919) + 1) % MERSENNE_P or 1
+        b = (seed * 998_244_353 + i * 104_729) % MERSENNE_P
+        h = (F.lit(a).cast("long") * base_mod + F.lit(b)) % F.lit(MERSENNE_P)
+        exprs.append(h)
+    return exprs
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig array<long>) — k min-hashes per doc in ONE aggregation."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    base = F.abs(F.xxhash64("shingle"))
+    hs = _minhash_exprs(base, n_hashes)
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hs)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH; optionally
+    verified with exact Jaccard (precision 1.0). rows = bands per signature;
+    two docs collide if any band matches entirely."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * r + j + 1) for j in range(r)])
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, verify_threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): sign of the per-bit sum of token hashes.
+    64 conditional sums in one groupBy — map-side combined, no UDF."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    bit = F.lit(0).cast("long")
+    for j in range(64):
+        bit = bit + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j) if j < 63 else F.lit(-(1 << 63))).otherwise(0)
+    return sums.select("id", bit.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of their simhash.
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; distance
+    ≤ k ⇒ at least one band identical — join only within equal bands."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    sh = simhash64(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1 if (i + 1) * width <= 64 else -1)
+            )
+            for i in range(nb)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.posexplode(bands).alias("bi", "bh"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["bi", "bh"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

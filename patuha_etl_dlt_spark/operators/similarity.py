@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The dot product is a native ``zip_with``+``aggregate`` fold (JVM-side,
+  no Python). Queries are broadcast (they are the small side by
+  construction); the corpus streams — so the plan is a broadcast
+  nested-loop + per-query top-k window, which scales linearly in corpus
+  size and parallelizes perfectly.
+- ``lsh_cosine_topk``: the scale path — random-hyperplane (sign) LSH
+  buckets computed with a deterministic projection matrix; only
+  same-bucket (or Hamming-≤1 probe) candidates are scored. Recall < 1 by
+  design; rows-only checked.
+
+At 100 TB you would additionally pre-partition the corpus by bucket and
+store it sorted (an IVF layout); the bucketing column here is exactly
+that partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ac = F.transform(F.col(a), lambda x: x.cast("double"))
+    bc = F.transform(F.col(b), lambda x: x.cast("double"))
+    return df.withColumn(out, _dot(ac, bc) / (_norm(ac) * _norm(bc)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id, rank,
+    cosine). Deterministic: ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim).round(6).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id from a deterministic hyperplane set (JVM-side:
+    the projection is an unrolled arithmetic expression per bit)."""
+    bits = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = _dot(F.transform(vec_col, lambda x: x.cast("double")), F.array(*[F.lit(p) for p in plane]))
+        bits = bits + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bits
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket (or any 1-bit-flip probe bucket when ``multiprobe``)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(F.col("qbucket"), *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long") for i in range(n_bits)
+        ])
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+    scored = (
+        c.join(F.broadcast(q.select("query_id", "qv", "bucket")), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(
+                F.transform("qv", lambda x: x.cast("double")),
+                F.transform("cv", lambda x: x.cast("double")),
+            )
+            / (_norm(F.transform("qv", lambda x: x.cast("double"))) * _norm(F.transform("cv", lambda x: x.cast("double")))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

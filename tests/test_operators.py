@@ -1,0 +1,184 @@
+"""Dedup / similarity / multimodal operators vs exact Python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_shingles,
+)
+from patuha_etl_dlt_spark.operators.multimodal import _fake_decode, decode_media, frame_sample
+from patuha_etl_dlt_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+WORDS = "the quick brown fox jumps over lazy dog spark merge lake table batch".split()
+
+
+def make_docs(n=60, seed=3, dup_every=5):
+    """n docs; every `dup_every`th is a light perturbation of its predecessor."""
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(n):
+        if i % dup_every == dup_every - 1 and docs:
+            base = docs[-1][1].split()
+            j = rng.randint(0, len(base))
+            base[j] = WORDS[rng.randint(0, len(WORDS))]
+            docs.append((i, " ".join(base)))
+        else:
+            docs.append((i, " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))))
+    return docs
+
+
+def py_shingles(text, n=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard_pairs(docs, n=3, threshold=0.5):
+    out = {}
+    for i, (ia, ta) in enumerate(docs):
+        sa = py_shingles(ta, n)
+        for ib, tb in docs[i + 1 :]:
+            sb = py_shingles(tb, n)
+            if not sa and not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 4) >= threshold:
+                out[(ia, ib)] = round(j, 4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(make_docs(), "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b C"), (2, "a b c"), (3, "x"), (4, " a b  c ")], "doc_id long, text string"
+    )
+    got = {r["canonical_id"]: r["n_docs"] for r in exact_duplicate_groups(df, "doc_id", "text").collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_word_shingles_match_python(docs_df):
+    got = word_shingles(docs_df.filter("doc_id < 5"), "doc_id", "text", 3).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], set()).add(r["shingle"])
+    docs = {i: t for i, t in make_docs()[:5]}
+    for i, t in docs.items():
+        assert by_id.get(i, set()) == py_shingles(t, 3)
+
+
+def test_ngram_jaccard_matches_python_oracle(docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", "text", 3, 0.5).collect()
+    }
+    want = py_jaccard_pairs(make_docs(), 3, 0.5)
+    assert got == want
+    assert len(want) > 0  # the fixture contains near-dups by construction
+
+
+def test_minhash_lsh_recall_and_precision(docs_df):
+    exact = py_jaccard_pairs(make_docs(), 3, 0.7)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs_df, "doc_id", "text", 64, 16, 3, 0.7).collect()
+    }
+    # verified ⇒ precision 1.0 (every returned pair IS an exact pair)
+    assert set(got) <= set(exact)
+    # banded 64/16 S-curve: jaccard≥0.7 pairs recalled with high prob
+    assert len(exact) > 0
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9
+
+
+def test_simhash_near_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(df, "doc_id", "text", 3).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+# ------------------------------ similarity ------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(5)
+    m = rng.randn(80, 16).astype(np.float32)
+    rows = [(i, m[i].tolist()) for i in range(80)]
+    return m, spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def py_topk(m, qids, k=5):
+    md = m.astype(np.float64)
+    norms = np.linalg.norm(md, axis=1)
+    out = {}
+    for q in qids:
+        sims = md @ md[q] / (norms * norms[q])
+        order = sorted((-(sims[i]), i) for i in range(len(md)) if i != q)[:k]
+        out[q] = [i for _, i in order]
+    return out
+
+
+def test_cosine_topk_exact(spark, vecs):
+    m, df = vecs
+    queries = df.filter("vec_id < 4")
+    got = cosine_topk(df, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    want = py_topk(m, range(4), 5)
+    for q in range(4):
+        ids = [i for _, i, _ in sorted(by_q[q])]
+        assert ids == want[q]
+
+
+def test_lsh_cosine_topk_sane(spark, vecs):
+    m, df = vecs
+    queries = df.filter("vec_id < 4")
+    got = lsh_cosine_topk(df, queries, k=5, n_bits=4, dim=16)
+    rows = got.collect()
+    assert len(rows) > 0
+    md = m.astype(np.float64)
+    norms = np.linalg.norm(md, axis=1)
+    for r in rows[:10]:
+        want = float(md[r["query_id"]] @ md[r["neighbor_id"]] / (norms[r["query_id"]] * norms[r["neighbor_id"]]))
+        assert abs(r["cosine"] - round(want, 6)) < 1e-5
+
+
+# ------------------------------ multimodal ------------------------------
+
+
+def test_decode_media_fake_kernel(spark):
+    rows = [(1, "image", b"abcdef" * 100), (2, "video", b"\x00\x01\x02" * 500), (3, "image", None)]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_media(df).collect()}
+    for mid, mt, payload in rows:
+        want = _fake_decode(payload, mt)
+        g = got[mid]
+        assert g["n_bytes"] == want["n_bytes"] and g["width"] == want["width"]
+        assert g["n_frames"] == want["n_frames"]
+        assert np.allclose(g["feature"], want["feature"], atol=1e-6)
+    fs = frame_sample(decode_media(df).select("media_id", "n_frames"), every_n=10)
+    n2 = got[2]["n_frames"]
+    assert fs.filter("media_id = 2").count() == (n2 + 9) // 10
+
+
+def test_decode_media_real_kernel_is_gated(spark):
+    df = spark.createDataFrame([(1, "image", b"x")], "media_id long, media_type string, payload binary")
+    with pytest.raises(Exception):
+        decode_media(df, decode_kernel="pil").collect()
