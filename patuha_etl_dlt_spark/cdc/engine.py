@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from patuha_etl_dlt_spark.cdc import evolution
 from patuha_etl_dlt_spark.cdc.checkpoint import CheckpointStore
+from patuha_etl_dlt_spark.cdc.dedup import lww_agg
 from patuha_etl_dlt_spark.functions.html import with_extracted_text
 from patuha_etl_dlt_spark.functions.sanitize import sanitize_columns
 from patuha_etl_dlt_spark.lake.table import SYS_EVENT, LakeTable
@@ -47,6 +48,14 @@ class EngineConfig:
     text_col: str = "text"
     extract_text: bool = True
     sanitize: bool = True
+    # Reduce the batch to one winner per key BEFORE text extraction: the
+    # pandas UDF then (a) runs post-shuffle, so its parallelism is
+    # spark.sql.shuffle.partitions instead of the input-split count — on a
+    # compressed feed a 200 MB batch is ~2 splits, which starves a 32-core
+    # executor — and (b) touches only winning rows (under duplication
+    # ratio D, a D× saving). Extraction is a pure function of html, so
+    # winner-then-extract ≡ extract-then-winner.
+    pre_reduce: bool = True
     # columns never sanitized: merge keys (null keys are dropped with a
     # metric, not coerced) and extracted text (byte-identity contract)
     sanitize_exclude: tuple[str, ...] = ()
@@ -79,13 +88,31 @@ class CdcEngine:
             .drop("_offset")
         )
 
-    def _new_offsets(self, events: DataFrame) -> dict[int, int]:
+    def _offsets_and_counts(self, events: DataFrame) -> tuple[dict[int, int], dict]:
+        """Per-partition max LSN + batch counts in ONE column-pruned pass
+        (reads only partition_id/lsn/op from the source — Catalyst prunes
+        the heavy payload columns out of the scan)."""
+        cfg = self.cfg
+        op = (
+            F.upper(F.col(cfg.op_col))
+            if cfg.op_col in events.columns
+            else F.lit("U")
+        )
         rows = (
-            events.groupBy(self.cfg.partition_col)
-            .agg(F.max(self.cfg.lsn_col).alias("m"))
+            events.groupBy(cfg.partition_col)
+            .agg(
+                F.max(cfg.lsn_col).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum((op == "D").cast("long")).alias("d"),
+            )
             .collect()
         )
-        return {int(r[0]): int(r[1]) for r in rows}
+        offsets = {int(r[0]): int(r[1]) for r in rows}
+        counts = {
+            "events_applied": int(sum(r[2] for r in rows)),
+            "delete_events": int(sum(r[3] for r in rows)),
+        }
+        return offsets, counts
 
     def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
         cfg = self.cfg
@@ -104,11 +131,15 @@ class CdcEngine:
             df = sanitize_columns(
                 df, exclude=keys + (cfg.text_col, cfg.op_col, cfg.schema_col) + cfg.sanitize_exclude
             )
-        if cfg.extract_text and cfg.html_col in df.columns and cfg.text_col in df.columns:
-            df = with_extracted_text(df, cfg.html_col, cfg.text_col)
         df = df.withColumnRenamed(cfg.lsn_col, SYS_EVENT)
         keep = [c for c in df.columns if c not in (cfg.partition_col, cfg.schema_col)]
-        return df.select(*keep)
+        df = df.select(*keep)
+        snap = self.table.snapshot
+        if cfg.pre_reduce:
+            df = lww_agg(df, snap.key_cols, [snap.order_cols[0], SYS_EVENT])
+        if cfg.extract_text and cfg.html_col in df.columns and cfg.text_col in df.columns:
+            df = with_extracted_text(df, cfg.html_col, cfg.text_col)
+        return df
 
     # ------------------------------------------------------------- apply
 
@@ -120,19 +151,20 @@ class CdcEngine:
         if self.table.has_batch(batch_id):
             # crash healed: MERGE landed, offsets may not have — recompute
             # them from the batch and re-commit the checkpoint (idempotent).
-            new_off = self._new_offsets(events)
+            new_off, _ = self._offsets_and_counts(self._filter_new(events))
             if not self.cp.has_batch(batch_id):
                 self.cp.commit(batch_id, new_off, {"skipped_merge": True})
             return {"skipped": True, "batch_id": batch_id}
 
-        fresh = self._filter_new(events).persist()
-        try:
-            renames = evolution.evolve_table(self.table, fresh, self.cfg.schema_col)
-            delta = self._prepare_delta(fresh, renames)
-            metrics = self.table.merge(delta, batch_id=batch_id, op_col=self.cfg.op_col)
-            new_off = self._new_offsets(fresh)
-        finally:
-            fresh.unpersist()
+        # every pre-pass below is column-pruned by Catalyst (schema_json
+        # only / partition+lsn+op only); the heavy payload columns are read
+        # exactly once, inside the MERGE job itself. No caching needed.
+        fresh = self._filter_new(events)
+        renames = evolution.evolve_table(self.table, fresh, self.cfg.schema_col)
+        new_off, counts = self._offsets_and_counts(fresh)
+        delta = self._prepare_delta(fresh, renames)
+        metrics = self.table.merge(delta, batch_id=batch_id, op_col=self.cfg.op_col)
+        metrics.update(counts)
         metrics["evolution_ops"] = [
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
             for o in renames

@@ -126,6 +126,72 @@ def generate_events(spark: SparkSession, spec: FeedSpec | None = None) -> DataFr
     return spark.createDataFrame(pdf, schema=event_struct())
 
 
+def generate_events_distributed(
+    spark: SparkSession,
+    n_events: int,
+    n_urls: int,
+    n_partitions: int = 32,
+    hot_fraction: float = 0.01,
+    hot_share: float = 0.5,
+    p_delete: float = 0.1,
+    seed: int = 42,
+    parallelism: int | None = None,
+    body_paragraphs: int = 8,
+) -> DataFrame:
+    """Distributed, driver-memory-free event generation via ``spark.range``
+    + native column functions (the bench path — 10^7+ events never touch
+    the driver). Deterministic: every value is a pure function of
+    (lsn, seed). HTML bodies are synthesized inline so the extraction UDF
+    has real work."""
+    from pyspark.sql import functions as F
+
+    n_hot = max(1, int(n_urls * hot_fraction))
+    df = spark.range(0, n_events, 1, parallelism or spark.sparkContext.defaultParallelism)
+    lsn = F.col("id")
+    h = lambda salt: F.abs(F.xxhash64(lsn, F.lit(seed + salt)))  # noqa: E731
+    is_hot = (h(1) % 1000) < int(hot_share * 1000)
+    url_idx = F.when(is_hot, h(2) % n_hot).otherwise(n_hot + h(3) % max(1, n_urls - n_hot))
+    url = F.concat(
+        F.lit("https://site"), (url_idx % 97).cast("string"), F.lit(".example/page/"),
+        url_idx.cast("string"),
+    )
+    opsel = h(4) % 100
+    op = (
+        F.when(opsel < 20, "I").when(opsel < 100 - int(p_delete * 100), "U").otherwise("D")
+    )
+    warc_ts = F.timestamp_seconds(F.lit(int(EPOCH.timestamp())) + lsn + (h(5) % 11) - 5)
+    # body_paragraphs controls page size (~170 B each ⇒ default ~1.5 KB,
+    # the low end of real web pages) so extraction/shuffle cost per event
+    # is realistic rather than latency-bound
+    paras = [
+        F.concat(
+            F.lit(f'<p class="c{j}">rev&nbsp;'), lsn.cast("string"),
+            F.lit(" &amp; content "), ((lsn * 7919 + j * 104729) % 100000).cast("string"),
+            F.lit(" <b>bold</b> <a href='/x"), ((h(6) + j) % 997).cast("string"),
+            F.lit("'>link text here</a> tail of paragraph "), F.lit(str(j)), F.lit("</p>"),
+        )
+        for j in range(body_paragraphs)
+    ]
+    html_str = F.concat(
+        F.lit("<html><head><title>"), url, F.lit(" r"), lsn.cast("string"),
+        F.lit("</title><script>var x=1;</script><style>p{margin:0}</style></head><body><h1>Page "),
+        url, F.lit("</h1>"), *paras, F.lit("<!-- c --></body></html>"),
+    )
+    from patuha_etl_dlt_spark.cdc.envelope import base_descriptor
+
+    return df.select(
+        lsn.alias("lsn"),
+        op.alias("op"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.when(op != "D", F.encode(html_str, "UTF-8")).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.when(op != "D", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("id")), (url_idx % 4 + 1).cast("int"))).alias("lang"),
+        (lsn % n_partitions).cast("int").alias("partition_id"),
+        F.lit(base_descriptor()).alias("schema_json"),
+    )
+
+
 def split_batches(pdf: pd.DataFrame, n_batches: int, seed: int = 7) -> list[pd.DataFrame]:
     """Split a feed into delivery batches with **log semantics**: within each
     feed partition, LSNs are delivered in increasing order across batches

@@ -55,7 +55,7 @@ def test_merge_insert_update_delete(spark, table):
         ev(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1"), (3, "U", "a", 2, "A2")]),
         batch_id="b1",
     )
-    assert m["events_applied"] == 3 and m["rows_written"] == 2
+    assert m["rows_written"] == 2 and m["buckets_rewritten"] >= 1
     assert state(table) == {"a": "A2", "b": "B1"}
 
     table.merge(ev(spark, [(4, "D", "a", 3, "X"), (5, "U", "b", 3, "B2")]), batch_id="b2")
