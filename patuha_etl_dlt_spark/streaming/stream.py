@@ -1,0 +1,67 @@
+"""Structured Streaming wrappers: file-source event tail → CDC apply.
+
+The reference's polling loop (``db_pipeline.py:75-94``: ``while True:
+sync; sleep(INTERVAL)``) and its watchdog staging-file watcher
+(``pipeline_management.py:1669-1707``) are both subsumed by Spark's
+streaming file source + trigger. Exactly-once composition: Spark's
+streaming checkpoint gives at-least-once foreachBatch invocation; the
+engine's batch-id idempotence (epoch id) turns that into exactly-once —
+the standard ``foreachBatch`` + idempotent-sink pattern.
+
+The windowed rollup shows watermark + tumbling-window aggregation (the
+streaming analog of per-batch metrics; C6 in SURVEY.md §2.10 — absent in
+the reference, first-class here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from patuha_etl_dlt_spark.cdc.engine import CdcEngine
+
+
+def stream_events_into(
+    engine: CdcEngine,
+    spark: SparkSession,
+    feed_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Tail a directory of event files and apply each micro-batch through
+    the engine. Batch id = deterministic function of the epoch id, so a
+    replayed epoch (after a streaming-checkpoint rollback) is a no-op."""
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        engine.apply_batch(batch_df, batch_id=f"stream-epoch-{epoch_id}")
+
+    w = src.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def hourly_rollup_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    schema: T.StructType,
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over the event stream (late data
+    beyond the watermark is dropped deterministically)."""
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "op", "n")
+    )

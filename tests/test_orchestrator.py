@@ -1,0 +1,147 @@
+"""Multi-table orchestration, config validation, retry, readers, streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from patuha_etl_dlt_spark.cdc.engine import EngineConfig
+from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
+from patuha_etl_dlt_spark.cdc.retry import RetryPolicy, with_retry
+from patuha_etl_dlt_spark.config import TableConfig, load_table_configs
+
+PAGES_COLS = (
+    ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+    ("text", "string"), ("lang", "string"),
+)
+LINKS_COLS = (
+    ("src_url", "string"), ("dst_url", "string"), ("warc_ts", "timestamp"), ("w", "long"),
+)
+
+
+def configs():
+    return [
+        TableConfig("pages", ("url",), "warc_ts", "cdc", 4, PAGES_COLS),
+        TableConfig("page_links", ("src_url", "dst_url"), "warc_ts", "cdc", 2, LINKS_COLS),
+        TableConfig("pages_snap", ("url",), "warc_ts", "snapshot", 2, PAGES_COLS),
+    ]
+
+
+def ts(i):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i)
+
+
+def pages_events(spark, rows):
+    return spark.createDataFrame(
+        [(l, o, u, ts(t), None, x, "en", 0, None) for (l, o, u, t, x) in rows],
+        "lsn long, op string, url string, warc_ts timestamp, html binary, text string, "
+        "lang string, partition_id int, schema_json string",
+    )
+
+
+def links_events(spark, rows):
+    return spark.createDataFrame(
+        [(l, o, s, d, ts(t), w, 0, None) for (l, o, s, d, t, w) in rows],
+        "lsn long, op string, src_url string, dst_url string, warc_ts timestamp, w long, "
+        "partition_id int, schema_json string",
+    )
+
+
+def test_config_validation_and_load(tmp_path):
+    p = tmp_path / "tables.json"
+    p.write_text(json.dumps([
+        {"table": "pages", "primary_key": "url", "modifier": "warc_ts"},
+        {"table": "links", "primary_key": ["a", "b"], "cursor": "warc_ts", "mode": "cdc"},
+    ]))
+    cfgs = load_table_configs(str(p))
+    assert cfgs[0].mode == "cdc" and cfgs[0].merge_key == ("url",)
+    assert cfgs[1].merge_key == ("a", "b")
+
+    p.write_text(json.dumps([{"table": "x", "primary_key": "k", "cursor": "c"},
+                             {"table": "x", "primary_key": "k", "cursor": "c"}]))
+    with pytest.raises(ValueError, match="duplicate"):
+        load_table_configs(str(p))
+    with pytest.raises(ValueError, match="mode"):
+        TableConfig("t", ("k",), "c", mode="bogus")
+
+
+def test_multi_table_cycle_and_verify(spark, tmp_path):
+    orch = SyncOrchestrator(spark, str(tmp_path), configs(), EngineConfig(extract_text=False))
+    b1 = {
+        "pages": pages_events(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1")]),
+        "page_links": links_events(spark, [(1, "I", "a", "b", 1, 10)]),
+        "pages_snap": pages_events(spark, [(1, "I", "s", 1, "S1")]).drop("op"),
+    }
+    res = {r.table: r for r in orch.run_cycle(b1, "cycle1")}
+    assert all(r.status == "perfect" for r in res.values()), res
+
+    b2 = {
+        "pages": pages_events(spark, [(3, "U", "a", 5, "A2"), (4, "D", "b", 5, "X")]),
+        "page_links": links_events(spark, [(2, "U", "a", "b", 5, 20)]),
+    }
+    orch.run_cycle(b2, "cycle2")
+    got = {r["url"]: r["text"] for r in orch.engine("pages").table.read().collect()}
+    assert got == {"a": "A2"}
+    links = {(r["src_url"], r["dst_url"]): r["w"] for r in orch.engine("page_links").table.read().collect()}
+    assert links == {("a", "b"): 20}
+
+    v = orch.verify_sync("pages", spark.createDataFrame([("a",)], "url string"))
+    assert v["status"] == "perfect"
+
+    # re-running a whole cycle is a no-op (exactly-once across tables)
+    res2 = {r.table: r for r in orch.run_cycle(b2, "cycle2")}
+    assert all(r.status == "skipped" for r in res2.values())
+
+
+def test_failed_table_goes_to_retry_queue(spark, tmp_path):
+    orch = SyncOrchestrator(
+        spark, str(tmp_path), configs(),
+        EngineConfig(extract_text=False),
+        RetryPolicy(max_attempts=2, base_delay_s=0.01),
+    )
+    bad = pages_events(spark, [(1, "I", "a", 1, "A1")]).drop("warc_ts")  # missing cursor col
+    res = orch.run_cycle({"pages": bad}, "c1")
+    assert res[0].status == "failed"
+    assert orch.retry_queue.drain() == [("pages", "c1:pages")]
+
+
+def test_with_retry_backoff():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, RetryPolicy(max_attempts=3, base_delay_s=0.01)) == "ok"
+    assert len(calls) == 3
+    with pytest.raises(RuntimeError):
+        with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")),
+                   RetryPolicy(max_attempts=2, base_delay_s=0.01))
+
+
+def test_readers_permissive(spark, tmp_path):
+    from patuha_etl_dlt_spark.sources.readers import cleanup_staging, read_csv, read_jsonl
+
+    jl = tmp_path / "data.jsonl"
+    jl.write_text('{"a": 1, "b": "x"}\n{bad json\n{"a": 2, "b": "y"}\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    df = read_jsonl(spark, str(jl), schema)
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    cv = tmp_path / "data.csv"
+    cv.write_text("a,b\n1,x\nnotanumber,y\n2,z\n")
+    df = read_csv(spark, str(cv), schema)
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "z")]
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "f").write_text("x")
+    cleanup_staging(str(staging))
+    assert not staging.exists()
