@@ -248,6 +248,86 @@ def anti_join_customers(spark, sf_dir):
     return f.join(open_, "custkey", "left_anti")
 
 
+def rollup_orders(spark, sf_dir):
+    """GROUP BY ROLLUP — subtotal/total rows (§2.4 'absent in reference,
+    free in Spark')."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+    )
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # empty pivot cells are NULL in Spark but 0 under SQL FILTER counts
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+def sessionize_events(spark, sf_dir):
+    """Sessionization: per-user sessions split on >1 h inactivity gaps
+    (lag + cumulative sum — the standard Spark pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz → epoch (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def asof_latest_order(spark, sf_dir):
+    """As-of join: each event joined to the same customer's latest order
+    at event time (Spark lacks a native as-of join — composed as a range
+    join + max_by reduction)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    o = _t(spark, sf_dir, "orders")
+    j = ev.join(o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts), "inner")
+    return j.groupBy("event_id").agg(
+        F.max_by(
+            F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        ).alias("w")
+    ).select(
+        "event_id",
+        F.col("w.o_orderkey").alias("asof_orderkey"),
+        F.col("w.o_totalprice").alias("asof_totalprice"),
+    )
+
+
+def percentile_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
+def set_ops_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return spark.range(1).select(
+        F.lit(f.union(op).distinct().count()).alias("n_union"),
+        F.lit(f.intersect(op).count()).alias("n_intersect"),
+        F.lit(f.subtract(op).count()).alias("n_except"),
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -495,6 +575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": topk_customers,
         "window_order_rank": window_order_rank,
         "anti_join_customers": anti_join_customers,
+        "rollup_orders": rollup_orders,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "sessionize_events": sessionize_events,
+        "asof_latest_order": asof_latest_order,
+        "percentile_value_by_type": percentile_value_by_type,
+        "set_ops_customers": set_ops_customers,
         # documents: text analysis + dedup tiers
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
@@ -584,6 +670,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderstatus = 'F'
               AND NOT EXISTS (SELECT 1 FROM orders o2
                               WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderstatus = 'O')
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_pending
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER w > 3600 THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "asof_latest_order": """
+            SELECT event_id, asof_orderkey, asof_totalprice FROM (
+              SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+              WHERE e.event_id < 1000)
+            WHERE rn = 1
+        """,
+        "percentile_value_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "set_ops_customers": """
+            WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+                 o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            SELECT (SELECT count(*) FROM (SELECT * FROM f UNION SELECT * FROM o)) AS n_union,
+                   (SELECT count(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM o)) AS n_intersect,
+                   (SELECT count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o)) AS n_except
         """,
         "doc_token_count": f"SELECT doc_id, {_sql_token_count('text')} AS n_tokens FROM documents",
         "doc_quality": _quality_sql(),

@@ -19,6 +19,11 @@ Three physical strategies, same semantics:
   phase 1 reduces within (key, salt), phase 2 across salts. Defeats skew
   where a window is otherwise required (e.g. when you must keep the
   full winning row without restructuring). North-rule requirement.
+
+Skew rationale follows "Rock you like a hurricane: taming skew in large
+scale analytics" (EuroSys 2018 — PAPERS.md): repartition the hot key's
+work, aggregate partially, recombine; AQE's skew-join handling covers the
+join-side analog (session default on).
 """
 
 from __future__ import annotations

@@ -5,6 +5,11 @@ function of ``html`` bytes — byte-identical per url however and wherever
 it is recomputed. No reference analog (the reference syncs opaque values);
 the contract comes from BASELINE.json (``input_hint``).
 
+Design follows the Arrow-vectorized UDF model ("Accelerating Python UDFs
+in Vectorized Query Execution", CIDR 2022 — PAPERS.md): Python cost is
+amortized over ~10k-row Arrow batches instead of per row, which the
+reference's per-value sanitizer loop could not do.
+
 Implementation notes (the "hard part" from SURVEY.md §7): the UDF takes
 ``binary`` in / ``string`` out through Arrow. pandas represents binary as
 object-dtype ``bytes``; we never let pandas coerce dtypes — the Series is

@@ -456,6 +456,26 @@ class LakeTable:
             )
         return deleted
 
+    def compact_files(self, max_files_per_bucket: int = 1) -> int:
+        """Bin-pack small files: rewrite every bucket that has more than
+        ``max_files_per_bucket`` files into one file (Iceberg's
+        rewrite_data_files analog). Returns buckets compacted. Needed when
+        appends/AQE-split writes fragment a bucket; MERGE itself already
+        writes one file per touched bucket."""
+        snap = self.snapshot
+        per_bucket: dict[int, int] = {}
+        for f in snap.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        targets = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
+        if not targets:
+            return 0
+        to_rewrite = [f for f in snap.files if f.bucket in targets]
+        kept = [f for f in snap.files if f.bucket not in targets]
+        df = self._read_files(snap, to_rewrite)
+        files = kept + self._write_files(snap, df, distribute=True)
+        self._commit(snap, files, None, {"operation": "compact_files", "buckets": len(targets)})
+        return len(targets)
+
     def compact_tombstones(self, older_than_event_id: int) -> None:
         """Purge tombstones whose LSN every feed partition has passed —
         safe once no event with a smaller LSN can still arrive."""

@@ -188,3 +188,19 @@ def test_null_keys_dropped(spark, table):
     )
     table.merge(df, batch_id="b1")
     assert state(table) == {"a": "A1"}
+
+
+def test_compact_files_and_tombstones(spark, table):
+    table.merge(ev(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1")]), batch_id="b1")
+    table.merge(ev(spark, [(3, "D", "a", 5, "X")]), batch_id="b2")
+    # fragment a bucket via append-style extra merge, then compact
+    table.merge(ev(spark, [(4, "I", "c", 6, "C1")]), batch_id="b3")
+    n0 = len(table.snapshot.files)
+    table.compact_files(max_files_per_bucket=1)
+    assert len(table.snapshot.files) <= n0
+    assert state(table) == {"b": "B1", "c": "C1"}
+    # tombstone for 'a' purged once all partitions passed lsn 3
+    assert table.read(include_deleted=True, include_system=True).count() == 3
+    table.compact_tombstones(older_than_event_id=4)
+    assert table.read(include_deleted=True, include_system=True).count() == 2
+    assert state(table) == {"b": "B1", "c": "C1"}

@@ -182,3 +182,17 @@ def test_decode_media_real_kernel_is_gated(spark):
     df = spark.createDataFrame([(1, "image", b"x")], "media_id long, media_type string, payload binary")
     with pytest.raises(Exception):
         decode_media(df, decode_kernel="pil").collect()
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(docs_df):
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", "text", 3, 0.6).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", 3, 0.6, prefix_filter=True
+        ).collect()
+    }
+    assert pref == full and len(full) > 0
