@@ -88,15 +88,20 @@ class CdcEngine:
             .drop("_offset")
         )
 
-    def _offsets_and_counts(self, events: DataFrame) -> tuple[dict[int, int], dict]:
-        """Per-partition max LSN + batch counts in ONE column-pruned pass
-        (reads only partition_id/lsn/op from the source — Catalyst prunes
-        the heavy payload columns out of the scan)."""
+    def _offsets_and_counts(self, events: DataFrame) -> tuple[dict[int, int], dict, list[str]]:
+        """Per-partition max LSN + batch counts + distinct envelope schema
+        descriptors — ONE column-pruned pass (reads only
+        partition_id/lsn/op/schema_json; Catalyst prunes the heavy payload
+        columns out of the scan, and partial aggregation keeps the
+        collect_set tiny — a handful of distinct descriptors per batch)."""
         cfg = self.cfg
         op = (
             F.upper(F.col(cfg.op_col))
             if cfg.op_col in events.columns
             else F.lit("U")
+        )
+        schema = (
+            F.col(cfg.schema_col) if cfg.schema_col in events.columns else F.lit(None).cast("string")
         )
         rows = (
             events.groupBy(cfg.partition_col)
@@ -104,6 +109,7 @@ class CdcEngine:
                 F.max(cfg.lsn_col).alias("m"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum((op == "D").cast("long")).alias("d"),
+                F.collect_set(schema).alias("s"),
             )
             .collect()
         )
@@ -112,7 +118,8 @@ class CdcEngine:
             "events_applied": int(sum(r[2] for r in rows)),
             "delete_events": int(sum(r[3] for r in rows)),
         }
-        return offsets, counts
+        descriptors = sorted({d for r in rows for d in r[3 + 1] if d})
+        return offsets, counts, descriptors
 
     def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
         cfg = self.cfg
@@ -151,17 +158,17 @@ class CdcEngine:
         if self.table.has_batch(batch_id):
             # crash healed: MERGE landed, offsets may not have — recompute
             # them from the batch and re-commit the checkpoint (idempotent).
-            new_off, _ = self._offsets_and_counts(self._filter_new(events))
+            new_off, _, _ = self._offsets_and_counts(self._filter_new(events))
             if not self.cp.has_batch(batch_id):
                 self.cp.commit(batch_id, new_off, {"skipped_merge": True})
             return {"skipped": True, "batch_id": batch_id}
 
-        # every pre-pass below is column-pruned by Catalyst (schema_json
-        # only / partition+lsn+op only); the heavy payload columns are read
-        # exactly once, inside the MERGE job itself. No caching needed.
+        # one column-pruned pre-pass (offsets + counts + schema descriptors
+        # — partition_id/lsn/op/schema_json only); the heavy payload
+        # columns are read exactly once, inside the MERGE job itself.
         fresh = self._filter_new(events)
-        renames = evolution.evolve_table(self.table, fresh, self.cfg.schema_col)
-        new_off, counts = self._offsets_and_counts(fresh)
+        new_off, counts, descriptors = self._offsets_and_counts(fresh)
+        renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
         delta = self._prepare_delta(fresh, renames)
         metrics = self.table.merge(delta, batch_id=batch_id, op_col=self.cfg.op_col)
         metrics.update(counts)

@@ -53,16 +53,30 @@ def diff_schemas(current: Schema, incoming: Schema) -> list[EvolutionOp]:
     return ops
 
 
-def evolve_table(table: LakeTable, events: DataFrame, schema_col: str = "schema_json") -> list[EvolutionOp]:
-    """Detect envelope schemas in ``events`` and evolve ``table``. Returns
-    the ops applied (renames are applied with their pre-rename names, so
-    callers can remap delta columns that still carry old names)."""
-    if schema_col not in events.columns:
-        return []
-    descriptors = [
-        r[0]
-        for r in events.select(schema_col).filter(F.col(schema_col).isNotNull()).distinct().collect()
-    ]
+def evolve_table(
+    table: LakeTable,
+    events: DataFrame | None,
+    schema_col: str = "schema_json",
+    descriptors: list[str] | None = None,
+) -> list[EvolutionOp]:
+    """Detect envelope schemas and evolve ``table``. Returns the ops
+    applied (renames are applied with their pre-rename names, so callers
+    can remap delta columns that still carry old names).
+
+    Pass ``descriptors`` directly when they were already collected in an
+    earlier aggregation pass (the engine folds this into its offsets job
+    to save a scan); otherwise they are read from ``events``."""
+    if descriptors is None:
+        if events is None or schema_col not in events.columns:
+            return []
+        descriptors = [
+            r[0]
+            for r in events.select(schema_col)
+            .filter(F.col(schema_col).isNotNull())
+            .distinct()
+            .collect()
+        ]
+    descriptors = [d for d in descriptors if d is not None]
     applied: list[EvolutionOp] = []
     # deterministic order: ascending max field id ⇒ older descriptors first
     for d in sorted(set(descriptors), key=lambda s: (parse_descriptor(s).max_id, s)):
