@@ -48,6 +48,13 @@ class EngineConfig:
     text_col: str = "text"
     extract_text: bool = True
     sanitize: bool = True
+    # 'mor' appends batch-reduced overlay files (write cost O(delta));
+    # 'cow' rewrites touched buckets (read-optimal). See LakeTable.merge.
+    merge_mode: str = "mor"
+    # fold merge-on-read overlays into base files every N batches
+    # (reference hygiene analog: staging truncation each cycle,
+    # pipeline_management.py:1106-1120). None = caller-managed.
+    compact_every: int | None = 8
     # Reduce the batch to one winner per key BEFORE text extraction: the
     # pandas UDF then (a) runs post-shuffle, so its parallelism is
     # spark.sql.shuffle.partitions instead of the input-split count — on a
@@ -170,8 +177,14 @@ class CdcEngine:
         new_off, counts, descriptors = self._offsets_and_counts(fresh)
         renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
         delta = self._prepare_delta(fresh, renames)
-        metrics = self.table.merge(delta, batch_id=batch_id, op_col=self.cfg.op_col)
+        metrics = self.table.merge(
+            delta, batch_id=batch_id, op_col=self.cfg.op_col, mode=self.cfg.merge_mode
+        )
         metrics.update(counts)
+        if self.cfg.compact_every and self.cfg.merge_mode == "mor":
+            n_batches = len(self.cp.read()["batches"]) + 1
+            if n_batches % self.cfg.compact_every == 0:
+                metrics["compacted_buckets"] = self.table.compact_deltas()
         metrics["evolution_ops"] = [
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
             for o in renames

@@ -145,13 +145,21 @@ class DataFile:
     path: str  # relative to table root
     bucket: int
     schema_id: int
+    # 'base': one LWW-resolved row per key; 'delta': merge-on-read overlay
+    # (newer rows/tombstones to be LWW-reduced against base at read time)
+    kind: str = "base"
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "schema_id": self.schema_id,
+            "kind": self.kind,
+        }
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["schema_id"])
+        return DataFile(d["path"], d["bucket"], d["schema_id"], d.get("kind", "base"))
 
 
 @dataclass

@@ -201,19 +201,48 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
+    def _order_expr(self, snap: Snapshot):
+        ts_col = snap.order_cols[0]
+        return F.struct(
+            F.coalesce(F.col(ts_col), F.lit(_ORDER_NULL_TS).cast("timestamp")).alias("o1"),
+            F.coalesce(F.col(SYS_EVENT), F.lit(-1)).alias("o2"),
+        )
+
+    def _lww_reduce(self, snap: Snapshot, df: DataFrame) -> DataFrame:
+        """One LWW winner per key (max_by aggregate, map-side combined)."""
+        payload = [c for c in df.columns if c not in snap.key_cols]
+        return (
+            df.groupBy(*snap.key_cols)
+            .agg(F.max_by(F.struct(*payload), self._order_expr(snap)).alias("_w"))
+            .select(*snap.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
+
+    def _resolved(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Merge-on-read resolution: buckets without delta overlays stream
+        straight from their base files; buckets WITH overlays are
+        LWW-reduced across base ∪ delta. Tombstones retained."""
+        dirty = {f.bucket for f in files if f.kind == "delta"}
+        clean_files = [f for f in files if f.bucket not in dirty]
+        dirty_files = [f for f in files if f.bucket in dirty]
+        out = self._read_files(snap, clean_files)
+        if dirty_files:
+            out = out.unionByName(self._lww_reduce(snap, self._read_files(snap, dirty_files)))
+        return out
+
     def read(
         self,
         include_deleted: bool = False,
         include_system: bool = False,
         snapshot_version: int | None = None,
     ) -> DataFrame:
-        """Current (or time-travel) state of the table as a DataFrame."""
+        """Current (or time-travel) state of the table as a DataFrame
+        (merge-on-read overlays resolved)."""
         snap = (
             self.snapshot
             if snapshot_version is None
             else M.read_snapshot(self.meta_dir, snapshot_version)
         )
-        df = self._read_files(snap, snap.files)
+        df = self._resolved(snap, snap.files)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
         if not include_system:
@@ -223,7 +252,7 @@ class LakeTable:
     # -------------------------------------------------------------- writes
 
     def _write_files(
-        self, snap: Snapshot, df: DataFrame, distribute: bool = True
+        self, snap: Snapshot, df: DataFrame, distribute: bool = True, kind: str = "base"
     ) -> list[DataFile]:
         """Write ``df`` (already aligned to snap.schema) bucket-partitioned;
         return the new DataFile entries.
@@ -243,7 +272,7 @@ class LakeTable:
         for bdir in glob.glob(os.path.join(out, "_bucket=*")):
             b = int(os.path.basename(bdir).split("=", 1)[1])
             for p in glob.glob(os.path.join(bdir, "*.parquet")):
-                new_files.append(DataFile(os.path.relpath(p, self.root), b, snap.schema_id))
+                new_files.append(DataFile(os.path.relpath(p, self.root), b, snap.schema_id, kind))
         return new_files
 
     def _commit(self, snap: Snapshot, files: list[DataFile], batch_id: str | None, summary: dict) -> Snapshot:
@@ -292,6 +321,7 @@ class LakeTable:
         batch_id: str | None = None,
         op_col: str | None = "op",
         collect_metrics: bool = True,
+        mode: str = "mor",
     ) -> dict:
         """Key-partitioned MERGE of a change-event delta into the table.
 
@@ -302,6 +332,19 @@ class LakeTable:
         Iceberg ``MERGE INTO t USING delta ON key WHEN MATCHED [AND op='D']
         THEN DELETE / UPDATE WHEN NOT MATCHED THEN INSERT`` — but
         commutative (see module docstring).
+
+        ``mode`` (the Iceberg copy-on-write vs merge-on-read choice):
+
+        - ``'mor'`` (default): the batch-reduced delta is APPENDED as
+          overlay files; reads LWW-resolve overlays against base. Write
+          cost per batch is O(delta), not O(touched table state) — the
+          right default for a write-heavy CDC tail. Compaction
+          (``compact_deltas``) folds overlays down on a schedule.
+        - ``'cow'``: touched buckets are rewritten to one resolved base
+          file each — read-optimal, write-amplified.
+
+        Because the LWW reduction is associative/commutative, both modes
+        produce identical read() results in any mixture.
 
         Returns a metrics dict; a re-applied ``batch_id`` short-circuits to
         ``{"skipped": True}`` (exactly-once).
@@ -324,36 +367,31 @@ class LakeTable:
             delta = delta.withColumn(SYS_EVENT, F.lit(None).cast("long"))
         delta_aligned = self._align(delta, snap.schema)
 
-        # bucket pruning: only read base buckets the delta touches. The scan
-        # projects the key columns only — Catalyst prunes everything else
-        # (including any upstream pandas UDFs), so this pre-pass is cheap.
-        touched = [
-            r[0]
-            for r in delta_aligned.select(self._bucket_expr(snap).alias("b")).distinct().collect()
-        ]
-        touched_set = set(touched)
-        base_files = [f for f in snap.files if f.bucket in touched_set]
-        kept_files = [f for f in snap.files if f.bucket not in touched_set]
-        base = self._read_files(snap, base_files)
-
-        # LWW winner per key over (base ∪ delta): one hash aggregation with
-        # map-side partial agg (collapses duplicate/hot keys before the
-        # shuffle). Its output partitioning — Hash(keys, num_buckets) — IS
-        # the bucket function (see _bucket_expr), so the bucketed file
-        # write below needs NO further repartition: the merge moves each
-        # row through exactly one shuffle.
-        combined = base.unionByName(delta_aligned)
-        ts_col = snap.order_cols[0]
-        order = F.struct(
-            F.coalesce(F.col(ts_col), F.lit(_ORDER_NULL_TS).cast("timestamp")).alias("o1"),
-            F.coalesce(F.col(SYS_EVENT), F.lit(-1)).alias("o2"),
-        )
-        payload = [c for c in combined.columns if c not in snap.key_cols]
-        winners = (
-            combined.groupBy(*snap.key_cols)
-            .agg(F.max_by(F.struct(*payload), order).alias("_w"))
-            .select(*snap.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
-        )
+        if mode == "mor":
+            # winners WITHIN the batch only; appended as overlay files.
+            # No base read, no bucket pre-scan: write cost is O(delta).
+            winners = self._lww_reduce(snap, delta_aligned)
+            kept_files = list(snap.files)
+        elif mode == "cow":
+            # bucket pruning: only read base buckets the delta touches.
+            # The pre-scan projects the key columns only — Catalyst prunes
+            # everything else (including upstream pandas UDFs), so it is
+            # cheap.
+            touched_set = {
+                r[0]
+                for r in delta_aligned.select(self._bucket_expr(snap).alias("b"))
+                .distinct()
+                .collect()
+            }
+            base_files = [f for f in snap.files if f.bucket in touched_set]
+            kept_files = [f for f in snap.files if f.bucket not in touched_set]
+            base = self._resolved(snap, base_files)
+            # LWW winner per key over (base ∪ delta): one hash aggregation
+            # with map-side partial agg (collapses duplicate/hot keys
+            # before the shuffle).
+            winners = self._lww_reduce(snap, base.unionByName(delta_aligned))
+        else:
+            raise ValueError(f"unknown merge mode: {mode!r}")
 
         obs_out = Observation()
         if collect_metrics:
@@ -363,21 +401,57 @@ class LakeTable:
                 F.sum(F.col(SYS_DELETED).cast("long")).alias("tombstones"),
             )
 
-        # run the merge job with shuffle partitions == num_buckets so the
-        # join partitioning aligns with the bucket layout (see _bucket_expr)
+        # run the merge job with shuffle partitions == num_buckets: the
+        # reduce's output partitioning — Hash(keys, num_buckets) — IS the
+        # bucket function (see _bucket_expr), so the bucketed file write
+        # needs NO further repartition; each row moves through exactly one
+        # shuffle and files land one per touched bucket.
         conf = self.spark.conf
         prev_sp = conf.get("spark.sql.shuffle.partitions")
         try:
             conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
-            new_files = self._write_files(snap, winners, distribute=False)
+            new_files = self._write_files(
+                snap, winners, distribute=False, kind="delta" if mode == "mor" else "base"
+            )
         finally:
             conf.set("spark.sql.shuffle.partitions", prev_sp)
         files = kept_files + new_files
-        metrics: dict = {"skipped": False, "batch_id": batch_id, "buckets_rewritten": len(touched)}
+        metrics: dict = {
+            "skipped": False,
+            "batch_id": batch_id,
+            "mode": mode,
+            "buckets_touched": len({f.bucket for f in new_files}),
+        }
         if collect_metrics:
             metrics.update(obs_out.get)
         self._commit(snap, files, batch_id, {"operation": "merge", **metrics})
         return metrics
+
+    def compact_deltas(self, max_delta_files_per_bucket: int = 0) -> int:
+        """Fold merge-on-read overlays into base files: every bucket with
+        more than ``max_delta_files_per_bucket`` overlay files is rewritten
+        to one resolved base file (Iceberg rewrite_data_files +
+        rewrite_position_delete_files analog). Returns buckets compacted."""
+        snap = self.snapshot
+        per_bucket: dict[int, int] = {}
+        for f in snap.files:
+            if f.kind == "delta":
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
+        if not targets:
+            return 0
+        to_rewrite = [f for f in snap.files if f.bucket in targets]
+        kept = [f for f in snap.files if f.bucket not in targets]
+        resolved = self._resolved(snap, to_rewrite)
+        conf = self.spark.conf
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        try:
+            conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+            files = kept + self._write_files(snap, resolved, distribute=False)
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
+        self._commit(snap, files, None, {"operation": "compact_deltas", "buckets": len(targets)})
+        return len(targets)
 
     # ----------------------------------------------------- schema evolution
 
@@ -471,7 +545,7 @@ class LakeTable:
             return 0
         to_rewrite = [f for f in snap.files if f.bucket in targets]
         kept = [f for f in snap.files if f.bucket not in targets]
-        df = self._read_files(snap, to_rewrite)
+        df = self._resolved(snap, to_rewrite)
         files = kept + self._write_files(snap, df, distribute=True)
         self._commit(snap, files, None, {"operation": "compact_files", "buckets": len(targets)})
         return len(targets)
@@ -480,7 +554,7 @@ class LakeTable:
         """Purge tombstones whose LSN every feed partition has passed —
         safe once no event with a smaller LSN can still arrive."""
         snap = self.snapshot
-        df = self._read_files(snap, snap.files)
+        df = self._resolved(snap, snap.files)
         kept = df.filter(
             (~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
             | (F.coalesce(F.col(SYS_EVENT), F.lit(-1)) >= F.lit(older_than_event_id))

@@ -215,3 +215,43 @@ def test_seed_snapshot_then_incremental(spark, tmp_path, feed):
     # snapshot seeding is idempotent too
     m = eng.seed_snapshot(snap_df, batch_id="seed")
     assert m["skipped"] is True
+
+
+def test_mixed_generation_batch_rename_coalesce(spark, tmp_path):
+    """One batch carrying BOTH pre-rename ('lang') and post-rename
+    ('language') events: the engine coalesces the two generations into the
+    current column (engine._prepare_delta rename remap)."""
+    eng = make_engine(spark, tmp_path)
+    base = generate_pandas(FeedSpec(n_urls=20, n_events=60, p_delete=0.0, edge_cases=False))
+    eng.apply_batch(to_df(spark, base), batch_id="b0")
+
+    desc2 = schema_descriptor(
+        [(1, "url", "string"), (2, "warc_ts", "timestamp"), (3, "html", "binary"),
+         (4, "text", "string"), (5, "language", "string")]
+    )
+    uniq = base.drop_duplicates("url")  # disjoint url sets per generation
+    old_gen = uniq.iloc[:5].copy()
+    old_gen["lsn"] = old_gen["lsn"] + 1000
+    old_gen["warc_ts"] = old_gen["warc_ts"] + pd.Timedelta(days=1)
+    old_gen["language"] = None
+    new_gen = uniq.iloc[5:10].copy()
+    new_gen["lsn"] = new_gen["lsn"] + 2000
+    new_gen["warc_ts"] = new_gen["warc_ts"] + pd.Timedelta(days=1)
+    new_gen["schema_json"] = desc2
+    new_gen["language"] = "sv"
+    new_gen["lang"] = None
+    mixed = pd.concat([old_gen, new_gen], ignore_index=True)
+    cols = ["lsn", "op", "url", "warc_ts", "html", "text", "lang", "language",
+            "partition_id", "schema_json"]
+    df = spark.createDataFrame(
+        mixed[cols],
+        "lsn long, op string, url string, warc_ts timestamp, html binary, text string, "
+        "lang string, language string, partition_id int, schema_json string",
+    )
+    m = eng.apply_batch(df, batch_id="b1")
+    assert any(o["kind"] == "rename" for o in m["evolution_ops"])
+    rows = {r["url"]: r["language"] for r in eng.table.read().collect()}
+    for u in old_gen["url"]:
+        assert rows[u] in ("en", "de", "fr", "id")  # old-gen value carried over
+    for u in new_gen["url"]:
+        assert rows[u] == "sv"

@@ -145,3 +145,21 @@ def test_readers_permissive(spark, tmp_path):
     (staging / "f").write_text("x")
     cleanup_staging(str(staging))
     assert not staging.exists()
+
+
+def test_jdbc_source_config():
+    from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig
+
+    cfg = JdbcSourceConfig(
+        url="jdbc:mysql://h:3306/db", table="pages", cursor_col="updated_at",
+        last_value="2026-01-01 00:00:00", partition_col="id",
+        lower_bound="0", upper_bound="1000000", num_partitions=16,
+    )
+    opts = cfg.reader_options()
+    assert "WHERE updated_at > '2026-01-01 00:00:00'" in opts["dbtable"]
+    assert opts["numPartitions"] == "16" and opts["fetchsize"] == "10000"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        JdbcSourceConfig(url="u", table="t", partition_col="id").reader_options()
