@@ -42,7 +42,11 @@ from patuha_etl_dlt_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from patuha_etl_dlt_spark.operators.multimodal import decode_media
-from patuha_etl_dlt_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from patuha_etl_dlt_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_pairs,
+    lsh_cosine_topk,
+)
 
 WM = "2024-01-15 00:00:00"  # events watermark literal (feed spans 2024-01)
 Q1_DATE = "2000-12-01 00:00:00"
@@ -398,6 +402,16 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dim=64)
 
 
+def dedup_embedding_near(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, threshold=0.45)
+
+
+def dedup_embedding_near_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, threshold=0.45, n_bits=4, dim=64)
+
+
 # --------------------------------------------------------------------------
 # multimodal (binary payload plumbing; decode kernel stubbed deterministic)
 # --------------------------------------------------------------------------
@@ -593,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: similarity search
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "dedup_embedding_near": dedup_embedding_near,
+        "dedup_embedding_near_lsh": dedup_embedding_near_lsh,
         # multimodal
         "multimodal_meta": multimodal_meta,
         "media_decode_stub": media_decode_stub,
@@ -727,6 +743,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "dedup_embedding_near": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+        """,
         "multimodal_meta": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, ascii(text) AS first_cp
             FROM documents

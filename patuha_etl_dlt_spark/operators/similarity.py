@@ -68,6 +68,47 @@ def cosine_topk(
     )
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_bits: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    ``n_bits=None``: exact all-pairs — a self-join on a constant (block
+    nested loop). Only for corpora that fit a broadcast (the oracle-checked
+    mode). ``n_bits=k``: sign-LSH bucketing first — only same-bucket pairs
+    are scored (the 100 TB path; recall follows the LSH collision curve
+    ``(1 - θ/π)^k``), then exact cosine verification so precision is 1.0.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if n_bits:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_bits)
+        v = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.round(F.col("cosine"), 6) >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 13) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_bits, dim).round(6).tolist()

@@ -255,3 +255,30 @@ def test_mixed_generation_batch_rename_coalesce(spark, tmp_path):
         assert rows[u] in ("en", "de", "fr", "id")  # old-gen value carried over
     for u in new_gen["url"]:
         assert rows[u] == "sv"
+
+
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """One url receives ~50% of 200k events (plus a uniform tail): the
+    map-side-combined LWW reduction must absorb it without a straggler
+    task materializing 100k rows for one key. Correctness: the hot key's
+    winner is the max-(warc_ts,lsn) event."""
+    from patuha_etl_dlt_spark.sources.feedgen import generate_events_distributed
+
+    eng = make_engine(spark, tmp_path, buckets=8)
+    ev = generate_events_distributed(
+        spark, 200_000, 2_000, n_partitions=4, hot_fraction=0.0005, hot_share=0.5,
+        p_delete=0.0, parallelism=16,
+    )
+    m = eng.apply_batch(ev, batch_id="skew")
+    assert m["events_applied"] == 200_000
+    n_keys = eng.table.read().count()
+    assert 0 < n_keys <= 2_000
+    # the winner per url carries the globally max lsn seen for that url
+    from pyspark.sql import functions as F
+
+    joined = (
+        eng.table.read(include_system=True)
+        .select("url", F.col("_event_id").alias("winner_lsn"))
+        .join(ev.groupBy("url").agg(F.max_by("lsn", F.struct("warc_ts", "lsn")).alias("want")), "url")
+    )
+    assert joined.filter(F.col("winner_lsn") != F.col("want")).count() == 0
