@@ -322,13 +322,24 @@ def percentile_value_by_type(spark, sf_dir):
 
 
 def set_ops_customers(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT cardinalities in ONE lazy plan (a single
+    full-outer join of the two distinct key sets + one aggregate) — no
+    eager driver-side .count() actions."""
     o = _t(spark, sf_dir, "orders")
-    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
-    return spark.range(1).select(
-        F.lit(f.union(op).distinct().count()).alias("n_union"),
-        F.lit(f.intersect(op).count()).alias("n_intersect"),
-        F.lit(f.subtract(op).count()).alias("n_except"),
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey").distinct()
+        .withColumn("in_f", F.lit(1))
+    )
+    op = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey").distinct()
+        .withColumn("in_o", F.lit(1))
+    )
+    return f.join(op, "o_custkey", "full_outer").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(F.col("in_f").isNotNull() & F.col("in_o").isNotNull(), 1)).alias("n_intersect"),
+        F.count(F.when(F.col("in_f").isNotNull() & F.col("in_o").isNull(), 1)).alias("n_except"),
     )
 
 
@@ -706,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
                           OR epoch(ts) - lag(epoch(ts)) OVER w > 3600 THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "asof_latest_order": """

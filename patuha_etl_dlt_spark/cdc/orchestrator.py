@@ -70,7 +70,7 @@ class SyncOrchestrator:
             root,
             list(cfg.columns),
             key_cols=list(cfg.merge_key),
-            order_col=cfg.cursor,
+            order_col=cfg.cursor or None,
             num_buckets=cfg.num_buckets,
         )
 

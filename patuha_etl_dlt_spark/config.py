@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 class TableConfig:
     table: str
     merge_key: tuple[str, ...]  # composite keys supported
-    cursor: str  # event-time/modifier column (LWW order)
+    cursor: str  # event-time/modifier column (LWW order); '' in snapshot mode
     mode: str = "cdc"  # 'cdc' (incremental merge) | 'snapshot' (full refresh)
     num_buckets: int = 64
     columns: tuple[tuple[str, str], ...] = ()  # (name, type) for creation
@@ -28,8 +28,10 @@ class TableConfig:
             raise ValueError(f"{self.table}: mode must be 'cdc' or 'snapshot', got {self.mode!r}")
         if not self.merge_key:
             raise ValueError(f"{self.table}: merge_key must not be empty")
-        if not self.cursor:
-            raise ValueError(f"{self.table}: cursor column required")
+        # a missing modifier/cursor selects full-refresh mode in the reference
+        # (pipeline_management.py:2176-2182); only cdc mode requires one
+        if self.mode == "cdc" and not self.cursor:
+            raise ValueError(f"{self.table}: cursor column required in cdc mode")
 
     @staticmethod
     def from_dict(d: dict) -> "TableConfig":

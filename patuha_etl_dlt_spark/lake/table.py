@@ -54,6 +54,37 @@ SYS_COLS = (SYS_DELETED, SYS_BATCH, SYS_EVENT)
 _ORDER_NULL_TS = "1970-01-01 00:00:00"
 
 
+def _order_null_literal(typ: str):
+    """A sorts-before-everything fallback for NULL order-column values,
+    chosen from the column's declared lake type. (A hardcoded timestamp
+    fallback used to make every merge on a long/date/decimal order column
+    fail with DATATYPE_MISMATCH.)"""
+    t = typ.lower()
+    if t == "timestamp":
+        return F.lit(_ORDER_NULL_TS).cast("timestamp")
+    if t == "date":
+        return F.lit("1970-01-01").cast("date")
+    if t in ("long", "bigint"):
+        return F.lit(-(1 << 63)).cast("long")
+    if t in ("int", "integer"):
+        return F.lit(-(1 << 31)).cast("int")
+    if t in ("short", "smallint"):
+        return F.lit(-(1 << 15)).cast("short")
+    if t in ("byte", "tinyint"):
+        return F.lit(-(1 << 7)).cast("byte")
+    if t == "double":
+        return F.lit(float("-inf")).cast("double")
+    if t == "float":
+        return F.lit(float("-inf")).cast("float")
+    if t == "string":
+        return F.lit("")
+    if t.startswith("decimal"):
+        p, s = (int(x) for x in t[t.index("(") + 1 : t.index(")")].split(","))
+        digits = "9" * (p - s) + ("." + "9" * s if s else "")
+        return F.lit(f"-{digits}").cast(typ)
+    raise ValueError(f"unsupported order-column type: {typ!r}")
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -68,7 +99,7 @@ class LakeTable:
         root: str,
         columns: list[tuple[str, str]],
         key_cols: list[str] | str,
-        order_col: str,
+        order_col: str | None,
         num_buckets: int = 16,
     ) -> "LakeTable":
         """Create an empty table.
@@ -78,15 +109,22 @@ class LakeTable:
         ``key_cols``: merge key; str or list (composite keys supported, as in
         the reference's utils.py:42-68).
         ``order_col``: the event-time/cursor column used for LWW ordering
-        (ties broken by `_event_id`, the LSN — a total order).
+        (ties broken by `_event_id`, the LSN — a total order). ``None`` for
+        modifier-less tables (the reference's full-refresh dispatch,
+        ``pipeline_management.py:2176-2182``): LWW then orders by the
+        ``_event_id`` lineage column alone.
         """
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         names = [c for c, _ in columns]
         for k in key_cols:
             if k not in names:
                 raise ValueError(f"key column {k!r} not in columns")
-        if order_col not in names:
+        if order_col is None:
+            order_col = SYS_EVENT
+        elif order_col not in names:
             raise ValueError(f"order column {order_col!r} not in columns")
+        else:
+            _order_null_literal(dict(columns)[order_col])  # fail fast on unorderable types
         fields = [Field(i + 1, n, t) for i, (n, t) in enumerate(columns)]
         # system columns get reserved NEGATIVE ids so they can never collide
         # with payload field ids from event-envelope schema descriptors
@@ -202,9 +240,10 @@ class LakeTable:
         return df
 
     def _order_expr(self, snap: Snapshot):
-        ts_col = snap.order_cols[0]
+        order_col = snap.order_cols[0]
+        fld = next(f for f in snap.schema.fields if f.name == order_col)
         return F.struct(
-            F.coalesce(F.col(ts_col), F.lit(_ORDER_NULL_TS).cast("timestamp")).alias("o1"),
+            F.coalesce(F.col(order_col), _order_null_literal(fld.type)).alias("o1"),
             F.coalesce(F.col(SYS_EVENT), F.lit(-1)).alias("o2"),
         )
 

@@ -23,12 +23,25 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def sql_literal(v) -> str:
+    """Render a Python value as a safe SQL literal: numerics unquoted,
+    strings single-quoted with embedded quotes doubled (never Python
+    ``repr``, whose escapes are invalid SQL and whose quoting turns
+    numeric cursors into strings)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
 @dataclass(frozen=True)
 class JdbcSourceConfig:
     url: str  # jdbc:mysql://host:3306/db
     table: str
     cursor_col: str | None = None  # reference 'modifier'
-    last_value: str | None = None  # checkpointed cursor (SQL literal text)
+    last_value: object | None = None  # checkpointed cursor (str | int | float)
     partition_col: str | None = None  # numeric/date col for parallel pull
     lower_bound: str | None = None
     upper_bound: str | None = None
@@ -43,7 +56,7 @@ class JdbcSourceConfig:
         if self.cursor_col and self.last_value is not None:
             return (
                 f"(SELECT * FROM {self.table} "
-                f"WHERE {self.cursor_col} > {self.last_value!r}) AS _incr"
+                f"WHERE {self.cursor_col} > {sql_literal(self.last_value)}) _incr"
             )
         return self.table
 

@@ -15,6 +15,8 @@ the reference, first-class here).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -31,14 +33,22 @@ def stream_events_into(
     checkpoint_dir: str,
     trigger_once: bool = True,
     processing_time: str = "10 seconds",
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Tail a directory of event files and apply each micro-batch through
-    the engine. Batch id = deterministic function of the epoch id, so a
-    replayed epoch (after a streaming-checkpoint rollback) is a no-op."""
+    the engine. Batch id = (stream app id, epoch id) — the Delta txnAppId
+    pattern — so a replayed epoch (after a streaming-checkpoint rollback)
+    is a no-op, while two different streams feeding one table can never
+    collide on bare epoch numbers. ``app_id`` defaults to a hash of the
+    checkpoint location; pass a NEW explicit ``app_id`` if you delete and
+    recreate the streaming checkpoint (epochs restart at 0 and would
+    otherwise be skipped as already-applied)."""
+    if app_id is None:
+        app_id = hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:12]
     src = spark.readStream.schema(schema).parquet(feed_dir)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        engine.apply_batch(batch_df, batch_id=f"stream-epoch-{epoch_id}")
+        engine.apply_batch(batch_df, batch_id=f"stream-{app_id}-epoch-{epoch_id}")
 
     w = src.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

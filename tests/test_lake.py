@@ -239,3 +239,52 @@ def test_compact_deltas_preserves_state(spark, table):
     # post-compaction merges still work and tombstone semantics survive
     table.merge(ev(spark, [(2, "U", "a", 3, "GHOST")]), batch_id="late")
     assert state(table) == {"b": "B1"}
+
+
+def test_long_order_column(spark, tmp_path):
+    """Non-timestamp order columns must work end-to-end (the NULL-order
+    fallback is picked from the column's declared lake type)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "seq_t"),
+        [("k", "long"), ("seq", "long"), ("v", "string")],
+        key_cols="k", order_col="seq", num_buckets=4,
+    )
+    d = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, None, "null-seq")],
+        "k long, seq long, v string",
+    )
+    t.merge(d, batch_id="b1")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "new", 2: "null-seq"}
+    # a later batch with a real seq beats the NULL-seq row
+    t.merge(spark.createDataFrame([(2, 5, "real")], "k long, seq long, v string"), batch_id="b2")
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "new", 2: "real"}
+
+
+def test_unsupported_order_type_fails_fast(spark, tmp_path):
+    with pytest.raises(ValueError, match="order-column type"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad_t"),
+            [("k", "long"), ("b", "binary"), ("v", "string")],
+            key_cols="k", order_col="b", num_buckets=2,
+        )
+
+
+def test_orderless_table_lww_by_event_id(spark, tmp_path):
+    """order_col=None (the reference's modifier-less full-refresh shape):
+    LWW falls back to the _event_id lineage column."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "nomod"),
+        [("k", "long"), ("v", "string")],
+        key_cols="k", order_col=None, num_buckets=4,
+    )
+    d = spark.createDataFrame(
+        [(2, 1, "first"), (1, 1, "second")], "_event_id long, k long, v string"
+    )
+    t.merge(d, batch_id="b1")
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "first"}
+    t.merge(
+        spark.createDataFrame([(3, 1, "third")], "_event_id long, k long, v string"),
+        batch_id="b2",
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "third"}

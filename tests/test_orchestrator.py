@@ -163,3 +163,32 @@ def test_jdbc_source_config():
 
     with _pytest.raises(ValueError, match="lower_bound"):
         JdbcSourceConfig(url="u", table="t", partition_col="id").reader_options()
+
+
+def test_modifierless_config_full_refresh(spark, tmp_path):
+    """A table config without modifier/cursor dispatches to full refresh
+    (reference pipeline_management.py:2176-2182) — and is accepted."""
+    cfg = TableConfig.from_dict({
+        "table": "t", "primary_key": "id",
+        "columns": [{"name": "id", "type": "long"}, {"name": "v", "type": "string"}],
+        "num_buckets": 4,
+    })
+    assert cfg.mode == "snapshot" and cfg.cursor == ""
+    orch = SyncOrchestrator(spark, str(tmp_path), [cfg])
+    r1 = orch.run_cycle({"t": spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")}, "c1")
+    assert r1[0].status == "perfect"
+    r2 = orch.run_cycle({"t": spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")}, "c2")
+    assert r2[0].status == "perfect"
+    got = {(r["id"], r["v"]) for r in orch.engine("t").table.read().collect()}
+    assert got == {(2, "B"), (3, "c")}  # replace semantics, not merge
+
+
+def test_sql_literal_escaping():
+    from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig, sql_literal
+
+    assert sql_literal(42) == "42"
+    assert sql_literal(3.5) == "3.5"
+    assert sql_literal("2026-01-01") == "'2026-01-01'"
+    assert sql_literal("o'brien") == "'o''brien'"
+    cfg = JdbcSourceConfig(url="u", table="t", cursor_col="id", last_value=100)
+    assert "WHERE id > 100)" in cfg.dbtable()  # numeric cursor NOT quoted

@@ -58,3 +58,26 @@ def test_windowed_rollup_with_watermark(spark, tmp_path, feed_dir):
     rows = spark.sql("SELECT * FROM rollup").collect()
     assert sum(r["n"] for r in rows) > 0
     assert {r["op"] for r in rows} <= {"I", "U", "D"}
+
+
+def test_two_streams_one_table_do_not_collide(spark, tmp_path, feed_dir):
+    """Two streams (distinct checkpoints) feeding one table must not skip
+    each other's epochs: batch ids carry a per-stream app id (the Delta
+    txnAppId pattern), not bare epoch numbers."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAGES_COLUMNS, "url", "warc_ts", num_buckets=4)
+    eng = CdcEngine(t, CheckpointStore(str(tmp_path / "cp")))
+    q1 = stream_events_into(eng, spark, feed_dir, event_struct(), str(tmp_path / "scp_a"), trigger_once=True)
+    q1.awaitTermination(300)
+    n_batches_after_first = len(t.snapshot.batch_ids)
+    # second stream over the SAME feed, fresh checkpoint → epoch ids restart
+    # at 0; with bare epoch batch-ids this would be silently skipped
+    q2 = stream_events_into(eng, spark, feed_dir, event_struct(), str(tmp_path / "scp_b"), trigger_once=True)
+    q2.awaitTermination(300)
+    assert len(t.snapshot.batch_ids) > n_batches_after_first
+    # explicit app_id overrides the checkpoint-derived one
+    q3 = stream_events_into(
+        eng, spark, feed_dir, event_struct(), str(tmp_path / "scp_c"),
+        trigger_once=True, app_id="replay-1",
+    )
+    q3.awaitTermination(300)
+    assert any(b.startswith("stream-replay-1-") for b in t.snapshot.batch_ids)
