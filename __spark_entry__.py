@@ -449,6 +449,35 @@ def media_decode_stub(spark, sf_dir):
     )
 
 
+def media_decode(spark, sf_dir):
+    """REAL media decode (oracle-checked): synthesize a valid 24-bpp BMP per
+    document (dimensions derived from doc_id), parse it back with the
+    header-decoding kernel (struct/numpy — no codec lib), and emit the
+    parsed dimensions. The oracle mirrors the *generator* arithmetic, so a
+    header-parsing bug shows up as a value mismatch."""
+    import pandas as pd
+
+    from patuha_etl_dlt_spark.operators.multimodal import MEDIA_SCHEMA, synth_bmp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": [synth_bmp(1 + int(i) % 64, 1 + int(i) % 48, fill=int(i)) for i in ids],
+                }
+            )
+
+    media = d.mapInPandas(gen, MEDIA_SCHEMA)
+    return decode_media(media, decode_kernel="headers").select(
+        "media_id", "n_bytes", "width", "height", "n_frames"
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect) for the text formulas
 # --------------------------------------------------------------------------
@@ -552,6 +581,73 @@ JOIN sizes sb ON sb.doc_id = common.id_b
 WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.5
 """
 
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """The engine's sign-LSH bucket id as DuckDB SQL: the hyperplanes are
+    plain literals (seeded, deterministic), so the projection is writable
+    as arithmetic — verified bit-identical to the Spark expression over the
+    whole embeddings table."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(n_bits: int = 8, dim: int = 64, k: int = 10) -> str:
+    from patuha_etl_dlt_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits)
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << i})" for i in range(n_bits)])
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_bucket_sql('e', planes)} AS bkt FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bkt AS qb FROM b WHERE vec_id < 5),
+probes AS (SELECT query_id, unnest([{probes}]) AS bkt FROM q),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN b c ON c.bkt = p.bkt
+  WHERE c.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.qe, c.e)
+           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM cand JOIN q USING (query_id) JOIN b c ON c.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6)::DOUBLE AS cosine FROM r WHERE rank <= {k}
+"""
+
+
+def _embedding_near_lsh_sql(n_bits: int = 4, dim: int = 64, threshold: float = 0.45) -> str:
+    from patuha_etl_dlt_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_bucket_sql('e', planes)} AS bkt FROM v),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.e, c.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cosine FROM p WHERE round(cos, 6) >= {threshold}
+"""
+
+
+_MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       54 + ((3 * (1 + doc_id % 64) + 3) // 4) * 4 * (1 + doc_id % 48) AS n_bytes,
+       (1 + doc_id % 64)::INT AS width,
+       (1 + doc_id % 48)::INT AS height,
+       1::INT AS n_frames
+FROM documents
+"""
+
+
 _ANN_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
@@ -622,14 +718,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_near_lsh": dedup_embedding_near_lsh,
         # multimodal
         "multimodal_meta": multimodal_meta,
+        "media_decode": media_decode,
         "media_decode_stub": media_decode_stub,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. Omitted (rows-only check): dedup_minhash_lsh,
-    dedup_simhash_pairs, ann_lsh_topk (LSH bucketing — approximate/
-    hash-seeded), media_decode_stub (mapInPandas decode kernel)."""
+    """DuckDB oracles. Omitted (rows-only check): dedup_simhash_pairs
+    (xxhash64-seeded fingerprints are not reproducible in DuckDB) and
+    media_decode_stub (fake-kernel plumbing gate; the real header-decode
+    path is oracle-checked via media_decode).
+
+    dedup_minhash_lsh uses the exact-Jaccard oracle: the verification step
+    makes precision 1.0, and at this corpus's similarity profile (planted
+    near-dups at jaccard ≥0.8, where banded-64/16 recall ≥0.999) the LSH
+    output equals the exact output — verified set-identical at sf0.01.
+    The sign-LSH gates are oracled by re-expressing the (literal, seeded)
+    hyperplane projections as DuckDB arithmetic — verified bit-identical
+    buckets on the full embeddings table."""
     return {
         "cdc_lww_window": _LWW_ORACLE,
         "cdc_lww_agg": _LWW_ORACLE,
@@ -753,7 +859,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY norm
         """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(n_bits=8, dim=64, k=10),
+        "dedup_embedding_near_lsh": _embedding_near_lsh_sql(n_bits=4, dim=64, threshold=0.45),
+        "media_decode": _MEDIA_DECODE_SQL,
         "dedup_embedding_near": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -2,22 +2,28 @@
 
 Images/audio/video ride as ``binary`` columns with a ``media_type``; the
 decode/feature stage runs as ``mapInPandas`` (Arrow batch iterator — one
-Python invocation per ~10k-row batch, never per row). The actual codec
-libraries are NOT in this container, so the decode kernel is STUBBED:
+Python invocation per ~10k-row batch, never per row). Kernels:
 
-- ``decode_kernel="fake"`` (default): a deterministic, pure-function-of-
-  bytes fake decoder — real Spark plumbing (schema, batching, partition
-  behavior) with fake pixels. Tests and oracles run against this.
-- ``decode_kernel="pil"``/``"av"``: gated behind import-try; raises
-  ``NotImplementedError`` here with a clear message.
+- ``decode_kernel="headers"``: a REAL decoder for codec-free formats —
+  BMP and PPM(P6) image headers, RIFF/WAVE audio headers — parsed with
+  pure struct/numpy (no external codec library needed). Width/height come
+  from the actual file bytes; for WAV, width=channels, height=bits per
+  sample, n_frames=sample frames.
+- ``decode_kernel="fake"`` (default, back-compat): a deterministic,
+  pure-function-of-bytes fake decoder — real Spark plumbing with fake
+  pixels, for payloads that aren't real media files.
+- ``decode_kernel="pil"``/``"av"`` (compressed formats — JPEG/PNG/mp4):
+  gated behind import-try; raises ``NotImplementedError`` here with a
+  clear message since those libs are not in this container.
 
 The Spark-side contract — input/output schemas, batch iterator shape,
-partition sizing — is the real deliverable; swapping the kernel for PIL/
-pyav on a real cluster touches nothing else.
+partition sizing — is identical across kernels; swapping in PIL/pyav on a
+real cluster touches nothing else.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -63,6 +69,91 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     return {"n_bytes": n, "width": width, "height": height, "n_frames": n_frames, "feature": feat}
 
 
+def _byte_histogram_feature(b: np.ndarray) -> list[float]:
+    hist = np.bincount(b % 8, minlength=8).astype(np.float64)
+    return (hist / max(1, int(b.size))).round(6).astype(np.float32).tolist()
+
+
+def synth_bmp(width: int, height: int, fill: int = 0) -> bytes:
+    """A valid 24-bpp uncompressed BMP (BITMAPINFOHEADER) — deterministic
+    pixel bytes. Pure struct packing; used by tests and gate queries to
+    feed the real header decoder."""
+    row_size = ((3 * width + 3) // 4) * 4
+    img_size = row_size * height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    )
+    return header + bytes([fill % 256]) * img_size
+
+
+def synth_ppm(width: int, height: int, fill: int = 0) -> bytes:
+    """A valid binary PPM (P6) image."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([fill % 256]) * (3 * width * height)
+
+
+def synth_wav(n_samples: int, sample_rate: int = 16000, channels: int = 1, bits: int = 16) -> bytes:
+    """A valid PCM RIFF/WAVE file with silent samples."""
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * block_align, block_align, bits)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + b"\x00" * data_size
+    )
+
+
+def _decode_headers(payload: bytes, media_type: str) -> dict:
+    """REAL decode for codec-free formats: sniff magic bytes, parse the
+    header with struct/numpy. BMP → (width, height) from BITMAPINFOHEADER;
+    PPM(P6) → from the ASCII header; RIFF/WAVE → width=channels,
+    height=bits/sample, n_frames=sample frames. Unknown formats degrade to
+    byte stats (never raise — bad records must not kill the batch)."""
+    if payload is None:
+        return {"n_bytes": 0, "width": 0, "height": 0, "n_frames": 0, "feature": [0.0] * 8}
+    raw = bytes(payload)
+    b = np.frombuffer(raw, dtype=np.uint8)
+    n = int(b.size)
+    out = {"n_bytes": n, "width": 0, "height": 0, "n_frames": 0, "feature": _byte_histogram_feature(b)}
+    try:
+        if raw[:2] == b"BM" and n >= 54:
+            width, height = struct.unpack_from("<ii", raw, 18)
+            out.update(width=int(width), height=int(abs(height)), n_frames=1)
+        elif raw[:2] == b"P6":
+            toks, i = [], 2
+            while len(toks) < 3 and i < min(n, 256):
+                j = i
+                while j < n and raw[j : j + 1] not in b" \t\r\n":
+                    j += 1
+                if j > i and not raw[i:j].startswith(b"#"):
+                    toks.append(int(raw[i:j]))
+                else:  # comment line: skip to newline
+                    while j < n and raw[j : j + 1] != b"\n":
+                        j += 1
+                i = j + 1
+            out.update(width=toks[0], height=toks[1], n_frames=1)
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            # walk RIFF chunks for fmt + data
+            i, channels, bits, data_size = 12, 0, 0, 0
+            while i + 8 <= n:
+                cid, csize = raw[i : i + 4], struct.unpack_from("<I", raw, i + 4)[0]
+                if cid == b"fmt ":
+                    _, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", raw, i + 8)
+                elif cid == b"data":
+                    data_size = csize
+                i += 8 + csize + (csize & 1)
+            block = max(1, channels * bits // 8)
+            out.update(width=int(channels), height=int(bits), n_frames=int(data_size // block))
+    except (struct.error, IndexError, ValueError):
+        pass  # malformed header: keep byte-stat fallback
+    return out
+
+
 def _real_decode(payload: bytes, media_type: str) -> dict:
     try:
         import PIL.Image  # noqa: F401
@@ -86,7 +177,8 @@ def decode_media(
 
     Output: DECODED_SCHEMA. Partitioning is preserved; batch size follows
     ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
-    kernel = _fake_decode if decode_kernel == "fake" else _real_decode
+    kernels = {"fake": _fake_decode, "headers": _decode_headers}
+    kernel = kernels.get(decode_kernel, _real_decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -252,3 +252,25 @@ def test_lsh_join_width_beats_exact_on_boilerplate(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_pairs(df, "doc_id", "text", 64, 16, 3, 0.7).collect()}
     assert {(i, 300 + i) for i in range(5)} <= got
+
+
+def test_decode_media_headers_kernel_real_formats(spark):
+    """Round-trip: synthesize real BMP/PPM/WAV bytes, parse them back with
+    the header kernel — dimensions must come from the actual file bytes."""
+    from patuha_etl_dlt_spark.operators.multimodal import synth_bmp, synth_ppm, synth_wav
+
+    rows = [
+        (1, "image", synth_bmp(17, 9, fill=3)),
+        (2, "image", synth_ppm(33, 21, fill=7)),
+        (3, "audio", synth_wav(4800, sample_rate=16000, channels=2, bits=16)),
+        (4, "image", b"not a real file"),
+        (5, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_media(df, decode_kernel="headers").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (17, 9, 1)
+    assert got[1]["n_bytes"] == 54 + ((3 * 17 + 3) // 4) * 4 * 9
+    assert (got[2]["width"], got[2]["height"]) == (33, 21)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (2, 16, 4800)
+    assert got[4]["width"] == 0 and got[4]["n_bytes"] == 15  # graceful fallback
+    assert got[5]["n_bytes"] == 0
