@@ -176,6 +176,28 @@ def cdc_sanitize_props(spark, sf_dir):
     )
 
 
+def cdc_parse_timestamps(spark, sf_dir):
+    """F10/F9: ISO-string timestamp parse (Z honored, garbage → NULL) and
+    naive→Asia/Bangkok localization, round-tripped through formatted
+    strings of the events feed so the oracle is pure interval arithmetic
+    (Bangkok is fixed UTC+7, no DST)."""
+    from patuha_etl_dlt_spark.functions.sanitize import (
+        localize_naive_timestamp,
+        parse_iso_timestamp,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    iso_z = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
+    iso_naive = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return ev.select(
+        "event_id",
+        parse_iso_timestamp(iso_z).alias("ts_z"),
+        parse_iso_timestamp(iso_naive, default_tz="Asia/Bangkok").alias("ts_bkk"),
+        localize_naive_timestamp(F.col("ts"), "Asia/Bangkok").alias("ts_localized"),
+        parse_iso_timestamp(F.lit("not-a-date")).alias("ts_bad"),
+    )
+
+
 def events_hourly_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -689,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_counts": cdc_op_counts,
         "cdc_users_per_type": cdc_users_per_type,
         "cdc_sanitize_props": cdc_sanitize_props,
+        "cdc_parse_timestamps": cdc_parse_timestamps,
         "events_hourly_rollup": events_hourly_rollup,
         # relational coverage
         "tpch_q1": tpch_q1,
@@ -755,6 +778,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(replace(props, chr(0), '')) = '' THEN NULL
                         ELSE replace(props, chr(0), '') END AS props_clean
             FROM events WHERE event_id < 500
+        """,
+        "cdc_parse_timestamps": """
+            SELECT event_id,
+                   ts AS ts_z,
+                   ts - INTERVAL 7 HOUR AS ts_bkk,
+                   ts - INTERVAL 7 HOUR AS ts_localized,
+                   NULL::TIMESTAMP AS ts_bad
+            FROM events WHERE event_id < 200
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -57,6 +57,28 @@ class CheckpointStore:
     def has_batch(self, batch_id: str) -> bool:
         return batch_id in self.read()["batches"]
 
+    def status(self) -> dict:
+        """Queryable health/status summary (R8 — the reference's
+        ``monitoring.py:16-152`` health endpoint payload, minus the
+        DB-connectivity probes that have no Spark analog): last commit age,
+        offsets, batch count, and recent throughput from the metrics log."""
+        st = self.read()
+        committed_at = st.get("committed_at")
+        out = {
+            "n_batches": len(st["batches"]),
+            "last_batch_id": st["batches"][-1] if st["batches"] else None,
+            "committed_at": committed_at,
+            "last_commit_age_s": round(time.time() - committed_at, 3) if committed_at else None,
+            "offsets": {int(k): int(v) for k, v in st["offsets"].items()},
+        }
+        recent = self.metrics()[-10:]
+        applied = sum(m.get("events_applied", 0) for m in recent)
+        secs = sum(m.get("seconds", 0.0) for m in recent)
+        out["recent_events_applied"] = applied
+        out["recent_events_per_sec"] = round(applied / secs, 1) if secs else None
+        out["last_batch_metrics"] = recent[-1] if recent else None
+        return out
+
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.metrics_path):
             return []

@@ -17,6 +17,7 @@ idempotent.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +104,42 @@ class SyncOrchestrator:
                 self.retry_queue.push(name, bid)
                 results.append(SyncResult(name, bid, "failed", {"error": str(e)}))
         return results
+
+    # -------------------------------------------------------------- health
+
+    def status(self) -> dict:
+        """Aggregate health/status document (R8; reference
+        ``monitoring.py:16-152`` serves the equivalent over HTTP :8089 —
+        see ``cdc.monitoring.HealthServer`` for the serving surface).
+        'healthy' = every instantiated table has committed at least one
+        batch and nothing is queued for retry; 'idle' = no table has run
+        yet; 'degraded' otherwise."""
+        tables = {}
+        any_commits, any_missing = False, False
+        for name in self.configs:
+            if name in self._engines:
+                s = self._engines[name].cp.status()
+                tables[name] = s
+                if s["n_batches"]:
+                    any_commits = True
+                else:
+                    any_missing = True
+            else:
+                tables[name] = {"n_batches": 0, "last_batch_id": None}
+                any_missing = True
+        retry_depth = len(self.retry_queue.items)
+        if not any_commits:
+            overall = "idle"
+        elif any_missing or retry_depth:
+            overall = "degraded"
+        else:
+            overall = "healthy"
+        return {
+            "status": overall,
+            "timestamp": time.time(),
+            "retry_queue_depth": retry_depth,
+            "tables": tables,
+        }
 
     # ------------------------------------------------------- verification
 

@@ -33,6 +33,29 @@ def clean_timestamp(c: Column) -> Column:
     return F.when(F.year(c) < 1, F.lit(None)).otherwise(c)
 
 
+def localize_naive_timestamp(c: Column, tz: str = "Asia/Bangkok") -> Column:
+    """F9: interpret a tz-naive timestamp column as wall-clock time in
+    ``tz`` and convert to UTC for storage — the reference's pytz
+    ``localize``/pendulum ``in_tz`` ingest fix for tz-naive MySQL data
+    (pipeline_management.py:634-722, default GMT+7 Asia/Bangkok)."""
+    return F.to_utc_timestamp(c, tz)
+
+
+def parse_iso_timestamp(c: Column, default_tz: str | None = None) -> Column:
+    """F10: ISO-8601 string → timestamp (pipeline_management.py:804-812,
+    ``datetime.fromisoformat(s.replace('Z', '+00:00'))`` with None on
+    parse failure). 'Z'/numeric offsets are honored; unparseable strings
+    become NULL (never throw — ANSI-safe ``try_cast``). When
+    ``default_tz`` is given, offset-less strings are interpreted as
+    wall-clock time in that zone (the reference's naive→GMT+7 rule);
+    otherwise they are taken in the session timezone (UTC here)."""
+    ts = c.cast("string").try_cast("timestamp")
+    if default_tz is None:
+        return ts
+    has_offset = c.cast("string").rlike(r"(Z|[+-]\d{2}:?\d{2})$")
+    return F.when(has_offset, ts).otherwise(F.to_utc_timestamp(ts, default_tz))
+
+
 def nan_inf_to_null(c: Column) -> Column:
     """F6: NaN/±Inf → NULL (data_processing.py:95-98)."""
     return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)

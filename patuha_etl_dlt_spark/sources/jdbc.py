@@ -49,14 +49,17 @@ class JdbcSourceConfig:
     fetch_size: int = 10_000  # reference chunk size (workflow.md:249-268)
     user: str | None = None
     password: str | None = None
+    driver: str | None = None  # JDBC driver class, when not auto-loadable
 
     def dbtable(self) -> str:
         """Pushed-down incremental extract: the remote DB scans its own
-        cursor index, exactly like the reference's dlt-generated query."""
+        cursor index, exactly like the reference's dlt-generated query.
+        (Alias must not start with '_': Derby and other strict dialects
+        reject such unquoted identifiers.)"""
         if self.cursor_col and self.last_value is not None:
             return (
                 f"(SELECT * FROM {self.table} "
-                f"WHERE {self.cursor_col} > {sql_literal(self.last_value)}) _incr"
+                f"WHERE {self.cursor_col} > {sql_literal(self.last_value)}) incr_src"
             )
         return self.table
 
@@ -79,6 +82,8 @@ class JdbcSourceConfig:
             opts["user"] = self.user
         if self.password:
             opts["password"] = self.password
+        if self.driver:
+            opts["driver"] = self.driver
         return opts
 
 

@@ -89,3 +89,45 @@ def test_sanitize_columns_schema_driven(spark):
     )
     r = sanitize_columns(df).collect()[0]
     assert r["s"] is None and r["t"] is not None and r["d"] is None and r["i"] == 3
+
+
+def test_parse_iso_timestamp_table_driven(spark):
+    """F10 + F9 (pipeline_management.py:804-812, :634-722): ISO parse with
+    Z/offset handling, NULL on garbage, naive→Asia/Bangkok localization."""
+    from patuha_etl_dlt_spark.functions.sanitize import (
+        localize_naive_timestamp,
+        parse_iso_timestamp,
+    )
+
+    cases = [
+        # (input, expected UTC when default_tz=None, expected when Bangkok)
+        ("2026-01-01T10:00:00Z", "2026-01-01 10:00:00", "2026-01-01 10:00:00"),
+        ("2026-01-01T10:00:00+07:00", "2026-01-01 03:00:00", "2026-01-01 03:00:00"),
+        ("2026-01-01T10:00:00-0230", "2026-01-01 12:30:00", "2026-01-01 12:30:00"),
+        ("2026-01-01 10:00:00", "2026-01-01 10:00:00", "2026-01-01 03:00:00"),
+        ("2026-01-01T10:00:00.123456", "2026-01-01 10:00:00.123456", "2026-01-01 03:00:00.123456"),
+        ("not-a-date", None, None),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], "s string")
+    got = (
+        df.select(
+            "s",
+            parse_iso_timestamp(F.col("s")).alias("utc"),
+            parse_iso_timestamp(F.col("s"), default_tz="Asia/Bangkok").alias("bkk"),
+        )
+        .collect()
+    )
+    by_s = {r["s"]: r for r in got}
+    for s, want_utc, want_bkk in cases:
+        r = by_s[s]
+        fmt = lambda v: None if v is None else v.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+        assert fmt(r["utc"]) == want_utc, (s, r["utc"])
+        assert fmt(r["bkk"]) == want_bkk, (s, r["bkk"])
+
+    # F9 on an already-typed naive timestamp column (the Bangkok case)
+    import datetime as dt
+
+    tdf = spark.createDataFrame([(dt.datetime(2026, 1, 1, 7, 0, 0),)], "ts timestamp")
+    out = tdf.select(localize_naive_timestamp(F.col("ts"), "Asia/Bangkok").alias("u")).collect()
+    assert out[0]["u"] == dt.datetime(2026, 1, 1, 0, 0, 0)

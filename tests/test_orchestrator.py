@@ -192,3 +192,40 @@ def test_sql_literal_escaping():
     assert sql_literal("o'brien") == "'o''brien'"
     cfg = JdbcSourceConfig(url="u", table="t", cursor_col="id", last_value=100)
     assert "WHERE id > 100)" in cfg.dbtable()  # numeric cursor NOT quoted
+
+
+def test_status_and_health_endpoint(spark, tmp_path):
+    """R8: queryable status (last-commit age, offsets, throughput) plus the
+    HTTP serving surface (reference monitoring.py:16-152)."""
+    import json as _json
+    import urllib.request
+
+    from patuha_etl_dlt_spark.cdc.monitoring import HealthServer
+
+    orch = SyncOrchestrator(spark, str(tmp_path), configs()[:2], EngineConfig(extract_text=False))
+    assert orch.status()["status"] == "idle"
+
+    orch.run_cycle(
+        {
+            "pages": pages_events(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 2, "B1")]),
+            "page_links": links_events(spark, [(1, "I", "a", "b", 1, 10)]),
+        },
+        "cyc1",
+    )
+    st = orch.status()
+    assert st["status"] == "healthy" and st["retry_queue_depth"] == 0
+    pages = st["tables"]["pages"]
+    assert pages["n_batches"] == 1 and pages["last_batch_id"] == "cyc1:pages"
+    assert pages["last_commit_age_s"] >= 0 and pages["offsets"] == {0: 2}
+    assert pages["recent_events_applied"] == 2
+
+    hs = HealthServer(orch.status, port=0).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{hs.port}/") as r:
+            doc = _json.loads(r.read())
+        assert doc["status"] == "healthy" and "pages" in doc["tables"]
+        import pytest as _pytest
+        with _pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{hs.port}/nope")
+    finally:
+        hs.stop()
