@@ -131,3 +131,39 @@ def test_parse_iso_timestamp_table_driven(spark):
     tdf = spark.createDataFrame([(dt.datetime(2026, 1, 1, 7, 0, 0),)], "ts timestamp")
     out = tdf.select(localize_naive_timestamp(F.col("ts"), "Asia/Bangkok").alias("u")).collect()
     assert out[0]["u"] == dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def test_diagnose_rows_and_quarantine(spark):
+    """Distributed re-expression of the reference's problematic-row
+    bisector (data_processing.py:124-190) + F12 hex dump (:246-256)."""
+    import datetime as dt
+
+    from patuha_etl_dlt_spark.functions.diagnose import (
+        diagnose_rows,
+        hex_preview,
+        split_quarantine,
+    )
+
+    rows = [
+        (1, "ok", dt.datetime(2026, 1, 1), 1.0),
+        (2, "has\x00nul", dt.datetime(2026, 1, 1), 2.0),
+        (3, "ok", None, float("nan")),
+        (None, "ok", dt.datetime(2026, 1, 1), float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, t timestamp, v double")
+
+    diag = diagnose_rows(df, ["k"]).collect()
+    got = {(r["k"], r["column"], r["problem"]) for r in diag}
+    assert (2, "s", "nul_byte") in got
+    assert (3, "v", "nan_or_inf") in got and (None, "v", "nan_or_inf") in got
+    nul_row = [r for r in diag if r["k"] == 2][0]
+    assert nul_row["value_hex"] == "68617300" + "6E756C"  # 'has\x00nul' hex
+
+    clean, bad = split_quarantine(df, ["k"])
+    assert clean.count() == 3
+    bads = bad.collect()
+    assert len(bads) == 1 and bads[0]["_reject_reason"] == "null_key:k"
+
+    # F12 hex preview truncates long binary
+    long = spark.createDataFrame([(b"\xab" * 100,)], "b binary")
+    assert long.select(hex_preview(F.col("b"), 4).alias("h")).collect()[0]["h"] == "ABABABAB"
