@@ -176,6 +176,26 @@ def cdc_sanitize_props(spark, sf_dir):
     )
 
 
+def cdc_diagnose_props(spark, sf_dir):
+    """Distributed problematic-row report (reference debug bisector,
+    data_processing.py:124-190): one row per offending (row, column) with
+    the problem kind and a hex preview. The testdata is clean, so NUL
+    bytes are PLANTED deterministically (every 7th event) — the oracle
+    mirrors the planting and the hex arithmetic, so a detector or
+    hex-preview bug shows up as a mismatch."""
+    from patuha_etl_dlt_spark.functions.diagnose import diagnose_rows
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    planted = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.col("props"), F.lit("\x00x"))
+        ).otherwise(F.col("props")).alias("props"),
+        "ts",
+    )
+    return diagnose_rows(planted, ["event_id"])
+
+
 def cdc_parse_timestamps(spark, sf_dir):
     """F10/F9: ISO-string timestamp parse (Z honored, garbage → NULL) and
     naive→Asia/Bangkok localization, round-tripped through formatted
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_counts": cdc_op_counts,
         "cdc_users_per_type": cdc_users_per_type,
         "cdc_sanitize_props": cdc_sanitize_props,
+        "cdc_diagnose_props": cdc_diagnose_props,
         "cdc_parse_timestamps": cdc_parse_timestamps,
         "events_hourly_rollup": events_hourly_rollup,
         # relational coverage
@@ -778,6 +799,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(replace(props, chr(0), '')) = '' THEN NULL
                         ELSE replace(props, chr(0), '') END AS props_clean
             FROM events WHERE event_id < 500
+        """,
+        "cdc_diagnose_props": """
+            SELECT event_id, 'props' AS "column", 'nul_byte' AS problem,
+                   substring(hex((props || chr(0) || 'x')::BLOB), 1, 64) AS value_hex
+            FROM events
+            WHERE event_id < 2000 AND event_id % 7 = 0 AND props IS NOT NULL
         """,
         "cdc_parse_timestamps": """
             SELECT event_id,

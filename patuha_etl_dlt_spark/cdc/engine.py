@@ -157,24 +157,43 @@ class CdcEngine:
 
     # ------------------------------------------------------------- apply
 
-    def apply_batch(self, events: DataFrame, batch_id: str | None = None) -> dict:
-        """Apply one change-event micro-batch exactly once."""
+    def apply_batch(
+        self,
+        events: DataFrame,
+        batch_id: str | None = None,
+        offsets: dict[int, int] | None = None,
+        descriptors: list[str] | None = None,
+    ) -> dict:
+        """Apply one change-event micro-batch exactly once.
+
+        ``offsets``/``descriptors``: per-partition end-LSNs and envelope
+        schema descriptors, when the SOURCE already knows them — a Kafka
+        consumer knows the offset range it polled and a binlog tail knows
+        its positions, so scanning the data to rediscover them is wasted
+        work (one whole Spark job per batch, a pure Amdahl term that caps
+        N→4N scaling on small batches). When either is absent the engine
+        falls back to the column-pruned discovery pre-pass."""
         batch_id = batch_id or uuid.uuid4().hex
         t0 = time.time()
 
         if self.table.has_batch(batch_id):
             # crash healed: MERGE landed, offsets may not have — recompute
             # them from the batch and re-commit the checkpoint (idempotent).
-            new_off, _, _ = self._offsets_and_counts(self._filter_new(events))
+            if offsets is None:
+                offsets, _, _ = self._offsets_and_counts(self._filter_new(events))
             if not self.cp.has_batch(batch_id):
-                self.cp.commit(batch_id, new_off, {"skipped_merge": True})
+                self.cp.commit(batch_id, offsets, {"skipped_merge": True})
             return {"skipped": True, "batch_id": batch_id}
 
         # one column-pruned pre-pass (offsets + counts + schema descriptors
-        # — partition_id/lsn/op/schema_json only); the heavy payload
-        # columns are read exactly once, inside the MERGE job itself.
+        # — partition_id/lsn/op/schema_json only) unless the source already
+        # told us; the heavy payload columns are read exactly once, inside
+        # the MERGE job itself.
         fresh = self._filter_new(events)
-        new_off, counts, descriptors = self._offsets_and_counts(fresh)
+        if offsets is not None and descriptors is not None:
+            new_off, counts = offsets, {}
+        else:
+            new_off, counts, descriptors = self._offsets_and_counts(fresh)
         renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
         delta = self._prepare_delta(fresh, renames)
         metrics = self.table.merge(

@@ -445,15 +445,27 @@ class LakeTable:
         # bucket function (see _bucket_expr), so the bucketed file write
         # needs NO further repartition; each row moves through exactly one
         # shuffle and files land one per touched bucket.
+        #
+        # AQE partition coalescing stays governed by the session (default
+        # ON): an interleaved A/B (see BASELINE.md) measured coalescing-off
+        # 15-35% SLOWER at both 4 and 16 cores on small batches — packing
+        # post-shuffle partitions to ~64 MB beats raw 64-way parallelism
+        # (fewer pandas-UDF worker invocations, fewer tiny files). The
+        # spark.patuha.merge.aqeCoalesce knob exists to re-test this
+        # trade-off on other hardware.
         conf = self.spark.conf
         prev_sp = conf.get("spark.sql.shuffle.partitions")
+        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        merge_coalesce = conf.get("spark.patuha.merge.aqeCoalesce", prev_coalesce)
         try:
             conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", merge_coalesce)
             new_files = self._write_files(
                 snap, winners, distribute=False, kind="delta" if mode == "mor" else "base"
             )
         finally:
             conf.set("spark.sql.shuffle.partitions", prev_sp)
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
         files = kept_files + new_files
         metrics: dict = {
             "skipped": False,

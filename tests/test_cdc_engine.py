@@ -282,3 +282,27 @@ def test_extreme_hot_key_skew(spark, tmp_path):
         .join(ev.groupBy("url").agg(F.max_by("lsn", F.struct("warc_ts", "lsn")).alias("want")), "url")
     )
     assert joined.filter(F.col("winner_lsn") != F.col("want")).count() == 0
+
+
+def test_known_offsets_fast_path_matches_discovery(spark, tmp_path, feed):
+    """apply_batch with source-supplied offsets/descriptors (the Kafka/
+    binlog consumer shape — skips the discovery pre-pass) must converge to
+    the same state and survive replay (exactly-once)."""
+    e1 = make_engine(spark, tmp_path, "disc")
+    e2 = make_engine(spark, tmp_path, "known")
+    half = to_df(spark, feed[feed.lsn < 1500])
+    rest = to_df(spark, feed[feed.lsn >= 1500])
+
+    e1.apply_batch(half, batch_id="a")
+    e1.apply_batch(rest, batch_id="b")
+
+    nparts = SPEC.n_partitions
+    e2.apply_batch(half, batch_id="a", offsets={p: 1499 for p in range(nparts)}, descriptors=[])
+    e2.apply_batch(rest, batch_id="b", offsets={p: 10**9 for p in range(nparts)}, descriptors=[])
+
+    assert table_state(e1.table) == table_state(e2.table) != {}
+    # replay with known offsets is still a no-op (exactly-once)
+    m = e2.apply_batch(half, batch_id="a", offsets={p: 1499 for p in range(nparts)}, descriptors=[])
+    assert m["skipped"] is True
+    # checkpointed high-water marks cover everything applied
+    assert all(v >= 1499 for v in e2.cp.offsets().values())
