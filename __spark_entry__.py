@@ -218,6 +218,37 @@ def cdc_parse_timestamps(spark, sf_dir):
     )
 
 
+def events_rollup_incremental(spark, sf_dir):
+    """Incrementally-maintained aggregate table: the events feed is folded
+    into a keyed rollup in three batches (each fold touches only the
+    groups the batch changed); the final state must equal a one-shot
+    GROUP BY of everything — the oracle IS that one-shot query. Sums run
+    in decimal so the fold order cannot perturb the values."""
+    from patuha_etl_dlt_spark.cdc.rollup import IncrementalRollup
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="entry_rollup_")
+    ru = IncrementalRollup.create(
+        spark,
+        f"{root}/r",
+        [("event_type", "string")],
+        {
+            "n": ("count", "event_id", "long"),
+            "total_value": ("sum", _dec("value"), "decimal(28,6)"),
+            "max_ts": ("max", "ts", "timestamp"),
+        },
+        num_buckets=4,
+    )
+    for i in range(3):
+        ru.apply_batch(ev.filter(F.col("event_id") % 3 == i), batch_id=f"rb{i}")
+    return ru.read().select(
+        "event_type",
+        "n",
+        F.round(F.col("total_value"), 4).cast("double").alias("total_value"),
+        "max_ts",
+    )
+
+
 def events_hourly_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -733,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sanitize_props": cdc_sanitize_props,
         "cdc_diagnose_props": cdc_diagnose_props,
         "cdc_parse_timestamps": cdc_parse_timestamps,
+        "events_rollup_incremental": events_rollup_incremental,
         "events_hourly_rollup": events_hourly_rollup,
         # relational coverage
         "tpch_q1": tpch_q1,
@@ -813,6 +845,12 @@ def oracle_sql() -> dict[str, str]:
                    ts - INTERVAL 7 HOUR AS ts_localized,
                    NULL::TIMESTAMP AS ts_bad
             FROM events WHERE event_id < 200
+        """,
+        "events_rollup_incremental": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value,
+                   max(ts) AS max_ts
+            FROM events GROUP BY event_type
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

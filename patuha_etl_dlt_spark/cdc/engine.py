@@ -66,6 +66,13 @@ class EngineConfig:
     # columns never sanitized: merge keys (null keys are dropped with a
     # metric, not coerced) and extracted text (byte-identity contract)
     sanitize_exclude: tuple[str, ...] = ()
+    # dead-letter directory: rows with fatal problems (NULL merge-key
+    # components — nothing to merge on) are appended there as parquet with
+    # _reject_reason and _batch_id instead of being silently dropped (the
+    # poison-pill pattern; reference analog: the problematic-row debugger,
+    # data_processing.py:124-190). None = off (rows still dropped safely
+    # by the merge's null-key filter).
+    quarantine_dir: str | None = None
 
 
 class CdcEngine:
@@ -127,6 +134,20 @@ class CdcEngine:
         }
         descriptors = sorted({d for r in rows for d in r[3 + 1] if d})
         return offsets, counts, descriptors
+
+    def _quarantine(self, df: DataFrame, batch_id: str | None) -> tuple[DataFrame, int]:
+        """Split fatally-broken rows into the dead-letter dir; returns the
+        clean rows and the quarantined count. One extra (column-pruned)
+        job per batch — opt-in via ``quarantine_dir``."""
+        from patuha_etl_dlt_spark.functions.diagnose import split_quarantine
+
+        keys = self.table.snapshot.key_cols
+        clean, bad = split_quarantine(df, keys)
+        out = bad.withColumn("_batch_id", F.lit(batch_id))
+        n_bad = out.count()
+        if n_bad:
+            out.write.mode("append").parquet(self.cfg.quarantine_dir)
+        return clean, n_bad
 
     def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
         cfg = self.cfg
@@ -195,6 +216,9 @@ class CdcEngine:
         else:
             new_off, counts, descriptors = self._offsets_and_counts(fresh)
         renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
+        if self.cfg.quarantine_dir:
+            fresh, n_quarantined = self._quarantine(fresh, batch_id)
+            counts["quarantined"] = n_quarantined
         delta = self._prepare_delta(fresh, renames)
         metrics = self.table.merge(
             delta, batch_id=batch_id, op_col=self.cfg.op_col, mode=self.cfg.merge_mode

@@ -42,6 +42,9 @@ WIDENINGS: dict[str, set[str]] = {
 
 
 def spark_type(name: str) -> T.DataType:
+    if name.startswith("decimal(") and name.endswith(")"):
+        p, s = (int(x) for x in name[8:-1].split(","))
+        return T.DecimalType(p, s)
     try:
         return _TYPES[name]
     except KeyError:
@@ -49,6 +52,8 @@ def spark_type(name: str) -> T.DataType:
 
 
 def type_name(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
     for k, v in _TYPES.items():
         if v == dt:
             return k

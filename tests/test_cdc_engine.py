@@ -306,3 +306,28 @@ def test_known_offsets_fast_path_matches_discovery(spark, tmp_path, feed):
     assert m["skipped"] is True
     # checkpointed high-water marks cover everything applied
     assert all(v >= 1499 for v in e2.cp.offsets().values())
+
+
+def test_quarantine_dead_letter(spark, tmp_path, feed):
+    """Rows with NULL merge keys land in the dead-letter dir with
+    _reject_reason/_batch_id instead of vanishing; clean rows still merge."""
+    qdir = str(tmp_path / "dead")
+    t = LakeTable.create(
+        spark, str(tmp_path / "qt"), PAGES_COLUMNS, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    eng = CdcEngine(
+        t, CheckpointStore(str(tmp_path / "qcp")), EngineConfig(quarantine_dir=qdir)
+    )
+    pdf = feed[feed.lsn < 500].copy()
+    pdf.loc[pdf.lsn % 10 == 0, "url"] = None
+    n_bad = int((pdf.lsn % 10 == 0).sum())
+    m = eng.apply_batch(to_df(spark, pdf), batch_id="q0")
+    assert m["quarantined"] == n_bad > 0
+
+    dead = spark.read.parquet(qdir)
+    assert dead.count() == n_bad
+    row = dead.limit(1).collect()[0]
+    assert row["_reject_reason"] == "null_key:url" and row["_batch_id"] == "q0"
+    # no null-key rows reached the table
+    assert t.read().filter("url IS NULL").count() == 0
+    assert t.read().count() > 0
