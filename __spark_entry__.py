@@ -447,6 +447,27 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def url_canonical_dedup(spark, sf_dir):
+    """Web-key hygiene: four messy variants of each page URL (default
+    port + tracking param + trailing slash, host case, unsorted params,
+    fragment) are synthesized per document and grouped by canonical URL.
+    The oracle computes the canonical forms directly from the same
+    arithmetic — a canonicalization bug shows up as a group mismatch."""
+    from patuha_etl_dlt_spark.functions.url import canonical_url_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pid = (F.col("doc_id") % 50).cast("string")
+    h = ((F.col("doc_id") % 50) % 7).cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit("http://site"), h, F.lit(".example:80/page/"), pid, F.lit("/?utm_source=x")))
+        .when(m == 1, F.concat(F.lit("http://Site"), h, F.lit(".example/page/"), pid))
+        .when(m == 2, F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("#frag")))
+    )
+    return canonical_url_groups(d.select(raw.alias("url")))
+
+
 def dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return exact_duplicate_groups(d, "doc_id", "text")
@@ -783,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "url_canonical_dedup": url_canonical_dedup,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -949,6 +971,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "doc_lang_id": _lang_sql(),
         "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "url_canonical_dedup": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 50 AS pid, (doc_id % 50) % 7 AS h, doc_id % 4 AS m
+              FROM documents
+            ), r AS (
+              SELECT CASE m
+                       WHEN 0 THEN 'http://site' || h || '.example:80/page/' || pid || '/?utm_source=x'
+                       WHEN 1 THEN 'http://Site' || h || '.example/page/' || pid
+                       WHEN 2 THEN 'http://site' || h || '.example/page/' || pid || '?b=2&a=1'
+                       ELSE 'http://site' || h || '.example/page/' || pid || '#frag'
+                     END AS raw,
+                     'http://site' || h || '.example/page/' || pid
+                       || CASE WHEN m = 2 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+              FROM d
+            )
+            SELECT canonical_url, count(*) AS n_variants, min(raw) AS first_raw
+            FROM r GROUP BY canonical_url
+        """,
         "dedup_exact_docs": f"""
             SELECT min(doc_id) AS canonical_id, count(*) AS n_docs, md5(norm) AS fingerprint
             FROM (SELECT doc_id, {_NORM} AS norm FROM documents)

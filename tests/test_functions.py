@@ -167,3 +167,24 @@ def test_diagnose_rows_and_quarantine(spark):
     # F12 hex preview truncates long binary
     long = spark.createDataFrame([(b"\xab" * 100,)], "b binary")
     assert long.select(hex_preview(F.col("b"), 4).alias("h")).collect()[0]["h"] == "ABABABAB"
+
+
+def test_canonicalize_url_table_driven(spark):
+    from patuha_etl_dlt_spark.functions.url import canonicalize_url
+
+    cases = [
+        ("http://Example.com:80/a/?utm_source=x#top", "http://example.com/a"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com/a/b/", "http://example.com/a/b"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?b=2&a=1&utm_medium=m", "http://example.com/?a=1&b=2"),
+        ("http://example.com/p?gclid=g&fbclid=f&ref=tw", "http://example.com/p"),
+        ("HTTPS://EXAMPLE.com/Path", "https://example.com/Path"),  # path case kept
+        ("not a url", "not a url"),  # scheme-less: passthrough
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
