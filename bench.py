@@ -63,6 +63,8 @@ QUERY_SUITE = [
     "ann_lsh_topk",
     "media_decode",
     "cdc_parse_timestamps",
+    "events_rollup_incremental",
+    "url_canonical_dedup",
 ]
 
 

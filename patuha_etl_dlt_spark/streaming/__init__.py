@@ -2,5 +2,6 @@
 
 from patuha_etl_dlt_spark.streaming.stream import (  # noqa: F401
     hourly_rollup_stream,
+    stream_rollup_into,
     stream_events_into,
 )

@@ -58,6 +58,31 @@ def stream_events_into(
     return w.start()
 
 
+def stream_rollup_into(
+    rollup,
+    spark: SparkSession,
+    feed_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Maintain an ``IncrementalRollup`` from a streaming file tail:
+    each micro-batch's partial aggregates are folded exactly-once (same
+    txnAppId-style batch ids as ``stream_events_into``). The streaming
+    analog of a continuously-maintained materialized view."""
+    if app_id is None:
+        app_id = hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:12]
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        rollup.apply_batch(batch_df, batch_id=f"rollup-{app_id}-epoch-{epoch_id}")
+
+    w = src.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint_dir)
+    w = w.trigger(availableNow=True) if trigger_once else w.trigger(processingTime="10 seconds")
+    return w.start()
+
+
 def hourly_rollup_stream(
     spark: SparkSession,
     feed_dir: str,

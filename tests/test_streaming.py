@@ -81,3 +81,32 @@ def test_two_streams_one_table_do_not_collide(spark, tmp_path, feed_dir):
     )
     q3.awaitTermination(300)
     assert any(b.startswith("stream-replay-1-") for b in t.snapshot.batch_ids)
+
+
+def test_stream_maintained_rollup_matches_batch(spark, tmp_path, feed_dir):
+    """A rollup folded from the stream equals a one-shot GROUP BY of the
+    whole feed; restarting over the same checkpoint is a no-op."""
+    from pyspark.sql import functions as F
+
+    from patuha_etl_dlt_spark.cdc.rollup import IncrementalRollup
+    from patuha_etl_dlt_spark.streaming import stream_rollup_into
+
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "ru"), [("op", "string")],
+        {"n": ("count", "lsn", "long"), "max_lsn": ("max", "lsn", "long")},
+        num_buckets=2,
+    )
+    q = stream_rollup_into(ru, spark, feed_dir, event_struct(), str(tmp_path / "rcp"))
+    q.awaitTermination(300)
+    got = {r["op"]: (r["n"], r["max_lsn"]) for r in ru.read().collect()}
+    want = {
+        r["op"]: (r["n"], r["max_lsn"])
+        for r in spark.read.parquet(feed_dir)
+        .groupBy("op").agg(F.count("lsn").alias("n"), F.max("lsn").alias("max_lsn"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    v = ru.table.snapshot.version
+    q2 = stream_rollup_into(ru, spark, feed_dir, event_struct(), str(tmp_path / "rcp"))
+    q2.awaitTermination(300)
+    assert ru.table.snapshot.version == v  # replayed checkpoint: no-op
