@@ -103,3 +103,26 @@ def test_exchange_count_bounded(spark):
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert count_exchanges(lww_agg(ev, ["user_id"], ["ts", "event_id"])) == 1
+
+
+def test_rollup_partials_map_side_combined(spark, tmp_path):
+    """The rollup's scan-side aggregation of the (big) event input must be
+    partial-aggregated (map-side combine) with exactly one exchange — at
+    scale the fold's cost is one combined shuffle of group-cardinality
+    rows, not an events-wide sort."""
+    from pyspark.sql import functions as F
+
+    from patuha_etl_dlt_spark.cdc.rollup import IncrementalRollup
+    from patuha_etl_dlt_spark.plans import count_exchanges, has_partial_aggregation
+
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "ru"), [("typ", "string")],
+        {"n": ("count", "eid", "long"), "mx": ("max", "v", "double")},
+        num_buckets=2,
+    )
+    delta = spark.createDataFrame(
+        [(i, "t" + str(i % 3), float(i)) for i in range(100)], "eid long, typ string, v double"
+    )
+    partials = ru._partials(delta)
+    assert has_partial_aggregation(partials)
+    assert count_exchanges(partials) == 1
