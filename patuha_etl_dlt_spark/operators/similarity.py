@@ -47,18 +47,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, neighbor_id, rank,
     cosine). Deterministic: ties broken by neighbor id."""
+    # norms are computed ONCE per row (not per candidate pair) — same
+    # float op sequence as inlining them, so results are bit-identical,
+    # but the per-pair work drops from 3 to 1 vector folds
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -89,20 +92,21 @@ def embedding_near_pairs(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    v = v.withColumn("n_", _norm(F.col("v")))  # norm once per row
     if n_bits:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_bits)
         v = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
-        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n_").alias("na"), "bucket")
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n_").alias("nb"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n_").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n_").alias("nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        pairs.withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.round(F.col("cosine"), 6) >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
@@ -152,16 +156,17 @@ def lsh_cosine_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits)
+    cvd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        cvd.alias("cv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        cvd.alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("qbucket"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     if multiprobe:
         probes = F.array(F.col("qbucket"), *[
             F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long") for i in range(n_bits)
@@ -170,16 +175,9 @@ def lsh_cosine_topk(
     else:
         q = q.withColumn("bucket", F.col("qbucket"))
     scored = (
-        c.join(F.broadcast(q.select("query_id", "qv", "bucket")), "bucket")
+        c.join(F.broadcast(q.select("query_id", "qv", "qn", "bucket")), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(
-                F.transform("qv", lambda x: x.cast("double")),
-                F.transform("cv", lambda x: x.cast("double")),
-            )
-            / (_norm(F.transform("qv", lambda x: x.cast("double"))) * _norm(F.transform("cv", lambda x: x.cast("double")))),
-        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
         .distinct()
     )
