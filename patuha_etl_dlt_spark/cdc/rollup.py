@@ -11,19 +11,25 @@ Mechanics: the measures are restricted to decomposable aggregates
 batch:
 
     partials = delta.groupBy(keys).agg(partial per measure)   -- map-side combined
-    touched  = current state semi-joined to the partial keys  -- bucket-pruned read
-    next     = (touched ∪ partials).groupBy(keys).agg(combine)
-    table.merge(next, batch_id)                               -- LWW upsert
+    touched  = pmod(hash(partial keys), B) distinct            -- which buckets changed
+    state    = table.read_buckets(touched)                     -- FILE-pruned read
+    next     = (state ∪ partials).groupBy(keys).agg(combine)
+    table.replace_buckets(next, touched, batch_id)             -- cow bucket rewrite
 
-The merge's batch-id idempotence makes the fold exactly-once: a replayed
+The commit's batch-id idempotence makes the fold exactly-once: a replayed
 batch short-circuits BEFORE partials are recombined, so totals can never
 double-count (tested). ``_event_id`` carries a monotone fold sequence so
-the newest total is always the LWW winner.
+reads always see the newest total.
 
-Scale shape: one map-side-combined aggregation of the batch plus a merge
-touching only the buckets whose groups changed. Group cardinality (e.g.
-hours × event types) is tiny relative to events, so the state read is a
-few small files.
+Scale shape: one map-side-combined aggregation of the batch, one read of
+ONLY the touched buckets' files (untouched buckets are never opened —
+asserted via ``inputFiles()`` in tests), and a copy-on-write rewrite of
+exactly those buckets. Per-fold cost is O(batch + touched-bucket state);
+untouched groups' files are byte-identical across folds, and every bucket
+stays at one file forever (no merge-on-read overlay accumulation, so a
+long-running streaming fold needs no compaction). For per-entity counters
+(millions of groups) size ``num_buckets`` so a batch touches a fraction
+of the buckets — the classic LSM-vs-COW knob.
 """
 
 from __future__ import annotations
@@ -97,17 +103,38 @@ class IncrementalRollup:
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def apply_batch(self, delta: DataFrame, batch_id: str) -> dict:
-        """Fold one micro-batch into the rollup, exactly once."""
+        """Fold one micro-batch into the rollup, exactly once.
+
+        Reads ONLY the buckets the batch's groups hash into (file-level
+        pruning via ``LakeTable.read_buckets``) and rewrites exactly those
+        buckets (``replace_buckets`` — all their groups, touched or not,
+        pass through the combine unchanged, so the rewrite needs no second
+        base read). Two jobs per fold: the touched-bucket discovery over
+        the batch partials (key columns only) and the combined write."""
         if self.table.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
-        partials = self._partials(delta)
-        current = self.table.read().join(
-            partials.select(*self.group_cols), self.group_cols, "semi"
-        )
-        nxt = self._combine(current.unionByName(partials)).withColumn(
-            "_event_id", F.lit(self.table.snapshot.version + 1).cast("long")
-        )
-        return self.table.merge(nxt, batch_id=batch_id, op_col=None)
+        snap = self.table.snapshot
+        # partials are used twice (bucket discovery + the fold itself):
+        # persist the tiny aggregated frame so the batch is scanned once
+        partials = self._partials(delta).persist()
+        try:
+            touched = sorted(
+                r[0]
+                for r in partials.select(self.table._bucket_expr(snap).alias("b"))
+                .distinct()
+                .collect()
+            )
+            state_files = [f for f in snap.files if f.bucket in set(touched)]
+            current = self.table.read_buckets(touched).select(*partials.columns)
+            nxt = self._combine(current.unionByName(partials)).withColumn(
+                "_event_id", F.lit(snap.version + 1).cast("long")
+            )
+            metrics = self.table.replace_buckets(nxt, touched, batch_id=batch_id)
+        finally:
+            partials.unpersist()
+        metrics["state_files_read"] = len(state_files)
+        metrics["state_files_total"] = len(snap.files)
+        return metrics
 
     def read(self) -> DataFrame:
         return self.table.read()

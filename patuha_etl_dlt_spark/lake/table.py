@@ -288,6 +288,28 @@ class LakeTable:
             df = df.drop(*SYS_COLS)
         return df
 
+    def read_buckets(
+        self,
+        buckets,
+        include_deleted: bool = False,
+        include_system: bool = False,
+    ) -> DataFrame:
+        """Bucket-pruned read: resolve and return ONLY the given buckets'
+        files (file-level pruning — the scan never opens untouched buckets,
+        checkable via ``DataFrame.inputFiles()``). The bucket of a key is
+        ``pmod(hash(keys), num_buckets)`` (see ``_bucket_expr``); callers
+        that know which keys they need (e.g. the incremental-rollup fold)
+        compute the touched buckets from those keys and skip the rest of
+        the table entirely — O(touched state), not O(state)."""
+        snap = self.snapshot
+        wanted = set(buckets)
+        df = self._resolved(snap, [f for f in snap.files if f.bucket in wanted])
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        if not include_system:
+            df = df.drop(*SYS_COLS)
+        return df
+
     # -------------------------------------------------------------- writes
 
     def _write_files(
@@ -476,6 +498,49 @@ class LakeTable:
         if collect_metrics:
             metrics.update(obs_out.get)
         self._commit(snap, files, batch_id, {"operation": "merge", **metrics})
+        return metrics
+
+    def replace_buckets(self, df: DataFrame, buckets, batch_id: str | None = None) -> dict:
+        """Atomic bucket-granular overwrite: ``df`` must contain ALL
+        surviving rows for ``buckets`` (one row per key); those buckets'
+        files are replaced with freshly-written base files and every other
+        bucket's files are kept untouched. Batch-id idempotent like merge.
+
+        This is the copy-on-write primitive the incremental rollup folds
+        through: the caller has already read the touched buckets' state and
+        recombined it, so re-reading base inside the write (as ``merge``'s
+        cow mode must) would double the state I/O. Runs with shuffle
+        partitions == num_buckets so an upstream groupBy on the key columns
+        leaves rows already bucket-placed (no extra repartition, one file
+        per bucket)."""
+        snap = self.snapshot
+        if batch_id and batch_id in snap.batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+        wanted = set(buckets)
+        df = df.withColumn(SYS_DELETED, F.lit(False)).withColumn(SYS_BATCH, F.lit(batch_id))
+        if SYS_EVENT not in df.columns:
+            df = df.withColumn(SYS_EVENT, F.lit(None).cast("long"))
+        aligned = self._align(df, snap.schema)
+        obs = Observation()
+        aligned = aligned.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        conf = self.spark.conf
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        try:
+            conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+            new_files = self._write_files(snap, aligned, distribute=False, kind="base")
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
+        stray = {f.bucket for f in new_files} - wanted
+        if stray:
+            raise ValueError(f"replace_buckets: df contains rows outside {sorted(wanted)}: buckets {sorted(stray)}")
+        kept = [f for f in snap.files if f.bucket not in wanted]
+        metrics = {
+            "skipped": False,
+            "batch_id": batch_id,
+            "buckets_replaced": len(wanted),
+            **obs.get,
+        }
+        self._commit(snap, kept + new_files, batch_id, {"operation": "replace_buckets", **metrics})
         return metrics
 
     def compact_deltas(self, max_delta_files_per_bucket: int = 0) -> int:

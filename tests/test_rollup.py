@@ -82,6 +82,61 @@ def test_new_groups_and_untouched_groups(spark, tmp_path, events):
     assert s1["error"] == (2, 10.0, 1.0, 9.0)  # new group
 
 
+def test_fold_prunes_untouched_buckets(spark, tmp_path, events):
+    """The fold must (a) only READ files of buckets its groups hash into
+    (file-level pruning, checked via inputFiles), and (b) only REWRITE
+    those buckets — untouched buckets keep byte-identical file paths."""
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "r"), [("typ", "string")], measures(), num_buckets=4
+    )
+    ru.apply_batch(events, batch_id="seed")  # state spans several buckets
+    snap = ru.table.snapshot
+    buckets_before = {f.bucket: f.path for f in snap.files}
+    assert len(buckets_before) >= 2  # the 3 types hash into ≥2 of 4 buckets
+
+    one = events.filter(F.col("typ") == "click")  # touches exactly one group
+    m = ru.apply_batch(one, batch_id="b-click")
+    assert m["buckets_replaced"] == 1
+    assert m["state_files_read"] == 1 < m["state_files_total"]
+
+    # exactly one bucket's file was replaced — the click group's
+    new_paths = {f.path for f in ru.table.snapshot.files}
+    replaced = [f for f in snap.files if f.path not in new_paths]
+    assert len(replaced) == 1
+    click_bucket = replaced[0].bucket
+
+    # the pruned state read never opens untouched buckets' files
+    read_files = ru.table.read_buckets([click_bucket]).inputFiles()
+    allowed = {f.path for f in ru.table.snapshot.files if f.bucket == click_bucket}
+    assert all(any(rf.endswith(p) for p in allowed) for rf in read_files)
+
+    # untouched buckets: same files as before the fold
+    after = {f.bucket: f.path for f in ru.table.snapshot.files}
+    for b, path in buckets_before.items():
+        if b != click_bucket:
+            assert after[b] == path
+    assert state(ru)["click"] == (8, 17.0, 0.5, 4.0)  # doubled click group
+    assert state(ru)["view"] == oracle(events)["view"]  # untouched, still right
+
+
+def test_many_folds_one_file_per_bucket(spark, tmp_path, events):
+    """Copy-on-write folds never accumulate overlay files: after many
+    folds every bucket holds exactly one file (no compaction needed)."""
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "r"), [("typ", "string")], measures(), num_buckets=4
+    )
+    for i in range(6):
+        ru.apply_batch(events, batch_id=f"f{i}")
+    per_bucket: dict[int, int] = {}
+    for f in ru.table.snapshot.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        assert f.kind == "base"
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
+    got = state(ru)
+    want = oracle(events)
+    assert got["click"][0] == 6 * want["click"][0]  # 6 folds of the same batch
+
+
 def test_decimal_lake_column_roundtrip(spark, tmp_path):
     from patuha_etl_dlt_spark.lake import LakeTable
 
