@@ -23,11 +23,12 @@ Nothing collects event data to the driver.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from patuha_etl_dlt_spark.cdc import evolution
@@ -80,6 +81,7 @@ class CdcEngine:
         self.table = table
         self.cp = checkpoints
         self.cfg = config or EngineConfig()
+        self._n_batches: int | None = None  # compaction cadence counter
 
     # ------------------------------------------------------------ plumbing
 
@@ -137,17 +139,24 @@ class CdcEngine:
 
     def _quarantine(self, df: DataFrame, batch_id: str | None) -> tuple[DataFrame, int]:
         """Split fatally-broken rows into the dead-letter dir; returns the
-        clean rows and the quarantined count. One extra (column-pruned)
-        job per batch — opt-in via ``quarantine_dir``."""
+        clean rows and the quarantined count. Exactly ONE extra job per
+        batch — opt-in via ``quarantine_dir``.
+
+        Replay-idempotent: each batch overwrites its own partition
+        directory (``_batch_id=<id>/``), so a crash or foreachBatch retry
+        between the dead-letter write and the MERGE commit re-writes the
+        same rows instead of appending duplicates. The count comes from an
+        Observation on the same write (no separate count() job)."""
         from patuha_etl_dlt_spark.functions.diagnose import split_quarantine
 
         keys = self.table.snapshot.key_cols
         clean, bad = split_quarantine(df, keys)
-        out = bad.withColumn("_batch_id", F.lit(batch_id))
-        n_bad = out.count()
-        if n_bad:
-            out.write.mode("append").parquet(self.cfg.quarantine_dir)
-        return clean, n_bad
+        obs = Observation()
+        out = bad.observe(obs, F.count(F.lit(1)).alias("n_bad"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.cfg.quarantine_dir, f"_batch_id={batch_id}")
+        )
+        return clean, int(obs.get["n_bad"] or 0)
 
     def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
         cfg = self.cfg
@@ -211,8 +220,25 @@ class CdcEngine:
         # told us; the heavy payload columns are read exactly once, inside
         # the MERGE job itself.
         fresh = self._filter_new(events)
+        obs_in: Observation | None = None
         if offsets is not None and descriptors is not None:
+            # no discovery job — but batch counts must still reach the
+            # checkpoint metrics (status()'s recent_events_per_sec reports
+            # on exactly this path). Piggyback an Observation on the batch
+            # plan: the counts fall out of the MERGE job itself, zero extra
+            # jobs, measured BEFORE the LWW pre-reduce collapses duplicates.
             new_off, counts = offsets, {}
+            op = (
+                F.upper(F.col(self.cfg.op_col))
+                if self.cfg.op_col in fresh.columns
+                else F.lit("U")
+            )
+            obs_in = Observation()
+            fresh = fresh.observe(
+                obs_in,
+                F.count(F.lit(1)).alias("events_applied"),
+                F.sum((op == "D").cast("long")).alias("delete_events"),
+            )
         else:
             new_off, counts, descriptors = self._offsets_and_counts(fresh)
         renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
@@ -223,10 +249,21 @@ class CdcEngine:
         metrics = self.table.merge(
             delta, batch_id=batch_id, op_col=self.cfg.op_col, mode=self.cfg.merge_mode
         )
+        if obs_in is not None:
+            got = obs_in.get  # already resolved: the merge write ran the plan
+            counts = {
+                "events_applied": int(got["events_applied"] or 0),
+                "delete_events": int(got["delete_events"] or 0),
+            }
         metrics.update(counts)
         if self.cfg.compact_every and self.cfg.merge_mode == "mor":
-            n_batches = len(self.cp.read()["batches"]) + 1
-            if n_batches % self.cfg.compact_every == 0:
+            # in-memory fold counter (seeded from the checkpoint once):
+            # re-parsing the whole state document every batch is a per-batch
+            # fixed cost that grows with history
+            if self._n_batches is None:
+                self._n_batches = len(self.cp.read()["batches"])
+            self._n_batches += 1
+            if self._n_batches % self.cfg.compact_every == 0:
                 metrics["compacted_buckets"] = self.table.compact_deltas()
         metrics["evolution_ops"] = [
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}

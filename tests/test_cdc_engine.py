@@ -308,6 +308,50 @@ def test_known_offsets_fast_path_matches_discovery(spark, tmp_path, feed):
     assert all(v >= 1499 for v in e2.cp.offsets().values())
 
 
+def test_known_offsets_path_reports_throughput(spark, tmp_path, feed):
+    """The known-offsets fast path must still carry events_applied /
+    delete_events into the checkpoint metrics (via the merge job's
+    Observation — no extra discovery job), so status() reports real
+    throughput on exactly the path high-volume sources use."""
+    eng = make_engine(spark, tmp_path, "thr")
+    half = feed[feed.lsn < 1500]
+    n_events = len(half)
+    n_deletes = int((half.op == "D").sum())
+    nparts = SPEC.n_partitions
+    m = eng.apply_batch(
+        to_df(spark, half), batch_id="a",
+        offsets={p: 1499 for p in range(nparts)}, descriptors=[],
+    )
+    assert m["events_applied"] == n_events > 0
+    assert m["delete_events"] == n_deletes > 0
+    s = eng.cp.status()
+    assert s["recent_events_applied"] == n_events
+    assert s["recent_events_per_sec"] is not None and s["recent_events_per_sec"] > 0
+
+
+def test_quarantine_replay_does_not_duplicate(spark, tmp_path, feed):
+    """A foreachBatch retry / crash-replay of the same batch id must not
+    append duplicate dead-letter rows: each batch overwrites its own
+    _batch_id=<id> partition."""
+    qdir = str(tmp_path / "dead2")
+    t = LakeTable.create(
+        spark, str(tmp_path / "qt2"), PAGES_COLUMNS, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    eng = CdcEngine(
+        t, CheckpointStore(str(tmp_path / "qcp2")), EngineConfig(quarantine_dir=qdir)
+    )
+    pdf = feed[feed.lsn < 500].copy()
+    pdf.loc[pdf.lsn % 10 == 0, "url"] = None
+    n_bad = int((pdf.lsn % 10 == 0).sum())
+    # simulate the crash window: quarantine runs, merge never commits, retry
+    for _ in range(3):
+        _, n = eng._quarantine(to_df(spark, pdf), "q0")
+        assert n == n_bad
+    dead = spark.read.parquet(qdir)
+    assert dead.count() == n_bad  # not 3 * n_bad
+    assert dead.filter(F.col("_batch_id") == "q0").count() == n_bad
+
+
 def test_quarantine_dead_letter(spark, tmp_path, feed):
     """Rows with NULL merge keys land in the dead-letter dir with
     _reject_reason/_batch_id instead of vanishing; clean rows still merge."""
