@@ -458,12 +458,14 @@ def url_canonical_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     pid = (F.col("doc_id") % 50).cast("string")
     h = ((F.col("doc_id") % 50) % 7).cast("string")
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     raw = (
         F.when(m == 0, F.concat(F.lit("http://site"), h, F.lit(".example:80/page/"), pid, F.lit("/?utm_source=x")))
         .when(m == 1, F.concat(F.lit("http://Site"), h, F.lit(".example/page/"), pid))
         .when(m == 2, F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("?b=2&a=1")))
-        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("#frag")))
+        .when(m == 3, F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("#frag")))
+        # '?' inside the fragment — must NOT become a query
+        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".example/page/"), pid, F.lit("#/route?x=1")))
     )
     return canonical_url_groups(d.select(raw.alias("url")))
 
@@ -973,14 +975,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
         "url_canonical_dedup": """
             WITH d AS (
-              SELECT doc_id, doc_id % 50 AS pid, (doc_id % 50) % 7 AS h, doc_id % 4 AS m
+              SELECT doc_id, doc_id % 50 AS pid, (doc_id % 50) % 7 AS h, doc_id % 5 AS m
               FROM documents
             ), r AS (
               SELECT CASE m
                        WHEN 0 THEN 'http://site' || h || '.example:80/page/' || pid || '/?utm_source=x'
                        WHEN 1 THEN 'http://Site' || h || '.example/page/' || pid
                        WHEN 2 THEN 'http://site' || h || '.example/page/' || pid || '?b=2&a=1'
-                       ELSE 'http://site' || h || '.example/page/' || pid || '#frag'
+                       WHEN 3 THEN 'http://site' || h || '.example/page/' || pid || '#frag'
+                       ELSE 'http://site' || h || '.example/page/' || pid || '#/route?x=1'
                      END AS raw,
                      'http://site' || h || '.example/page/' || pid
                        || CASE WHEN m = 2 THEN '?a=1&b=2' ELSE '' END AS canonical_url

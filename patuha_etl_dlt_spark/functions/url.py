@@ -30,7 +30,11 @@ TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref=")
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY = r"\?([^#]*)"
+# anchored to the pre-fragment prefix: a '?' inside the fragment
+# ('http://x/p#a?b=1', SPA '#/route?x=y') is NOT a query — matching it
+# would fabricate a query from fragment content and conflate/split pages
+# on the canonical merge key
+_QUERY = r"^[^#?]*\?([^#]*)"
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -181,6 +181,10 @@ def test_canonicalize_url_table_driven(spark):
         ("http://example.com/?b=2&a=1&utm_medium=m", "http://example.com/?a=1&b=2"),
         ("http://example.com/p?gclid=g&fbclid=f&ref=tw", "http://example.com/p"),
         ("HTTPS://EXAMPLE.com/Path", "https://example.com/Path"),  # path case kept
+        # '?' inside the fragment is NOT a query (SPA routes, anchors)
+        ("http://x.example/p#a?b=1", "http://x.example/p"),
+        ("http://x.example/p#/route?x=y", "http://x.example/p"),
+        ("http://x.example/p?a=1#f?b=2", "http://x.example/p?a=1"),
         ("not a url", "not a url"),  # scheme-less: passthrough
         (None, None),
     ]
