@@ -94,8 +94,7 @@ def embedding_near_pairs(
     )
     v = v.withColumn("n_", _norm(F.col("v")))  # norm once per row
     if n_bits:
-        if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+        dim = _resolve_dim(df, vec_col, dim)
         planes = _hyperplanes(dim, n_bits)
         v = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
         a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n_").alias("na"), "bucket")
@@ -111,6 +110,23 @@ def embedding_near_pairs(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+
+
+def _resolve_dim(df: DataFrame, vec_col: str, dim) -> int:
+    """LSH needs the embedding width to mint hyperplanes. Pass it
+    explicitly (``dim=64``) — it is fixed per corpus and known to the
+    caller. ``dim="infer"`` opts into reading it from the first row (ONE
+    driver-side action — never the silent default: a hidden ``.first()``
+    in a lazily-composed plan runs the whole upstream plan once per
+    build, which is how driver actions sneak into hot paths)."""
+    if isinstance(dim, int):
+        return dim
+    if dim == "infer":
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(f"cannot infer dim: {vec_col!r} has no rows")
+        return len(row[0])
+    raise ValueError("dim is required for LSH (an int, or explicitly dim='infer')")
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 13) -> list[list[float]]:
@@ -153,8 +169,7 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket (or any 1-bit-flip probe bucket when ``multiprobe``)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _resolve_dim(corpus, vec_col, dim)
     planes = _hyperplanes(dim, n_bits)
     cvd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
