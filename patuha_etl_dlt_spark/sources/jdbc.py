@@ -10,30 +10,83 @@ column so N executors each pull a slice — replacing the reference's
 single-connection serial extract (``config.toml:9-15`` pins dlt to one
 worker; Spark's whole point is the opposite).
 
-This sandbox has no database, so the module builds and validates the
-reader configuration (unit-testable) and only touches the network when
-``.load()`` is called by the caller; the JDBC driver jar requirement is
-surfaced as a clear error.
+MySQL dialect surface (the behaviors the reference spends real code
+fighting) is first-class:
+
+- zero dates ``0000-00-00`` (reference ``README.MD:487-494``,
+  ``data_processing.py:76-82``) → ``zeroDateTimeBehavior=convertToNull``
+  so Connector/J NULLs them at the wire instead of throwing;
+- connection-level timezone normalization (reference
+  ``pipeline_management.py:700-722`` forces a session tz) →
+  ``connectionTimeZone=UTC`` + a ``sessionInitStatement`` pinning
+  ``time_zone``;
+- backslash string escapes (on by default in MySQL, absent in ANSI) in
+  cursor literals;
+- backtick identifier quoting.
+
+These are applied automatically when the URL is ``jdbc:mysql:`` /
+``jdbc:mariadb:`` and individually overridable via ``options``.
+
+This sandbox has no MySQL, so the module builds and validates the reader
+configuration (unit-tested) and only touches the network when ``.load()``
+is called; the mechanism is verified end-to-end against embedded Derby
+(``tests/test_jdbc_derby.py``).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Reader options pre-set for MySQL/MariaDB URLs (each overridable via
+# JdbcSourceConfig.options). Unknown reader options are forwarded by Spark
+# to the JDBC driver as connection properties.
+MYSQL_DEFAULT_OPTIONS: dict[str, str] = {
+    # '0000-00-00' rows surface as NULL instead of SQLException
+    "zeroDateTimeBehavior": "convertToNull",
+    # interpret DATETIME columns in a fixed zone regardless of server config
+    "connectionTimeZone": "UTC",
+    # and pin the session so NOW()/cursor comparisons agree with it
+    "sessionInitStatement": "SET time_zone = '+00:00'",
+}
 
-def sql_literal(v) -> str:
-    """Render a Python value as a safe SQL literal: numerics unquoted,
-    strings single-quoted with embedded quotes doubled (never Python
-    ``repr``, whose escapes are invalid SQL and whose quoting turns
-    numeric cursors into strings)."""
+_IDENT_QUOTE = {"mysql": "`", "ansi": '"'}
+
+
+def infer_dialect(url: str) -> str:
+    return "mysql" if url.startswith(("jdbc:mysql:", "jdbc:mariadb:")) else "ansi"
+
+
+def sql_literal(v, dialect: str = "ansi") -> str:
+    """Render a Python value as a safe SQL literal: numerics unquoted
+    (non-finite floats are rejected — ``repr`` of inf/nan is invalid
+    SQL), strings single-quoted with embedded quotes doubled. Under the
+    ``mysql`` dialect backslashes are doubled too: MySQL treats ``\\`` as
+    an escape by default, so a trailing backslash in a DB-sourced cursor
+    value would otherwise swallow the closing quote (malformed SQL /
+    literal breakout)."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite float has no SQL literal: {v!r}")
         return repr(v)
-    s = str(v).replace("'", "''")
+    if isinstance(v, int):
+        return repr(v)
+    s = str(v)
+    if dialect == "mysql":
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
     return f"'{s}'"
+
+
+def quote_ident(name: str, dialect: str = "ansi") -> str:
+    """Quote an identifier for the dialect (doubling embedded quote
+    chars). Composite paths (``db.table``) quote each segment."""
+    q = _IDENT_QUOTE.get(dialect, '"')
+    return ".".join(q + part.replace(q, q + q) + q for part in name.split("."))
 
 
 @dataclass(frozen=True)
@@ -50,6 +103,21 @@ class JdbcSourceConfig:
     user: str | None = None
     password: str | None = None
     driver: str | None = None  # JDBC driver class, when not auto-loadable
+    # 'mysql' | 'ansi'; None = inferred from the URL scheme
+    dialect: str | None = None
+    # quote table/cursor identifiers with the dialect's quote char (off by
+    # default: Derby & friends fold unquoted identifiers to upper-case, so
+    # quoting must match how the tables were created)
+    quote_identifiers: bool = False
+    # extra/override reader options, applied LAST (user always wins over
+    # dialect presets) — e.g. {"zeroDateTimeBehavior": "round"}
+    options: dict = field(default_factory=dict)
+
+    def effective_dialect(self) -> str:
+        return self.dialect or infer_dialect(self.url)
+
+    def _ident(self, name: str) -> str:
+        return quote_ident(name, self.effective_dialect()) if self.quote_identifiers else name
 
     def dbtable(self) -> str:
         """Pushed-down incremental extract: the remote DB scans its own
@@ -57,18 +125,22 @@ class JdbcSourceConfig:
         (Alias must not start with '_': Derby and other strict dialects
         reject such unquoted identifiers.)"""
         if self.cursor_col and self.last_value is not None:
+            lit = sql_literal(self.last_value, self.effective_dialect())
             return (
-                f"(SELECT * FROM {self.table} "
-                f"WHERE {self.cursor_col} > {sql_literal(self.last_value)}) incr_src"
+                f"(SELECT * FROM {self._ident(self.table)} "
+                f"WHERE {self._ident(self.cursor_col)} > {lit}) incr_src"
             )
-        return self.table
+        return self._ident(self.table)
 
     def reader_options(self) -> dict[str, str]:
-        opts = {
-            "url": self.url,
-            "dbtable": self.dbtable(),
-            "fetchsize": str(self.fetch_size),
-        }
+        opts: dict[str, str] = {}
+        if self.effective_dialect() == "mysql":
+            opts.update(MYSQL_DEFAULT_OPTIONS)
+        opts.update(
+            url=self.url,
+            dbtable=self.dbtable(),
+            fetchsize=str(self.fetch_size),
+        )
         if self.partition_col:
             if self.lower_bound is None or self.upper_bound is None:
                 raise ValueError("partition_col requires lower_bound and upper_bound")
@@ -84,6 +156,7 @@ class JdbcSourceConfig:
             opts["password"] = self.password
         if self.driver:
             opts["driver"] = self.driver
+        opts.update({k: str(v) for k, v in self.options.items()})
         return opts
 
 

@@ -193,6 +193,49 @@ def test_sql_literal_escaping():
     cfg = JdbcSourceConfig(url="u", table="t", cursor_col="id", last_value=100)
     assert "WHERE id > 100)" in cfg.dbtable()  # numeric cursor NOT quoted
 
+    # MySQL dialect: backslash is an escape char — double it so a trailing
+    # '\' in a DB-sourced cursor value cannot swallow the closing quote
+    assert sql_literal("a\\", dialect="mysql") == "'a\\\\'"
+    assert sql_literal("a\\'b", dialect="mysql") == "'a\\\\''b'"
+    assert sql_literal("a\\", dialect="ansi") == "'a\\'"  # ANSI: no escapes
+    import pytest as _pytest
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with _pytest.raises(ValueError, match="non-finite"):
+            sql_literal(bad)
+
+
+def test_jdbc_mysql_dialect_presets():
+    """MySQL URLs get the reference's hard-won dialect behaviors as reader
+    options (zero-date NULLing README.MD:487-494, session tz pinning
+    pipeline_management.py:700-722), each overridable; identifier quoting
+    is opt-in and dialect-correct."""
+    from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig, quote_ident
+
+    cfg = JdbcSourceConfig(url="jdbc:mysql://h:3306/db", table="pages")
+    opts = cfg.reader_options()
+    assert opts["zeroDateTimeBehavior"] == "convertToNull"
+    assert opts["connectionTimeZone"] == "UTC"
+    assert opts["sessionInitStatement"] == "SET time_zone = '+00:00'"
+
+    # explicit options always win over the presets
+    over = JdbcSourceConfig(
+        url="jdbc:mysql://h/db", table="t", options={"zeroDateTimeBehavior": "round"}
+    ).reader_options()
+    assert over["zeroDateTimeBehavior"] == "round"
+
+    # non-MySQL URLs get no MySQL-isms
+    derby = JdbcSourceConfig(url="jdbc:derby:memory:x", table="t").reader_options()
+    assert "zeroDateTimeBehavior" not in derby and "sessionInitStatement" not in derby
+
+    # identifier quoting: backticks for mysql, double quotes for ansi
+    q = JdbcSourceConfig(
+        url="jdbc:mysql://h/db", table="db.pages", cursor_col="updated at",
+        last_value=5, quote_identifiers=True,
+    )
+    assert q.dbtable() == "(SELECT * FROM `db`.`pages` WHERE `updated at` > 5) incr_src"
+    assert quote_ident('we"ird', "ansi") == '"we""ird"'
+
 
 def test_status_and_health_endpoint(spark, tmp_path):
     """R8: queryable status (last-commit age, offsets, throughput) plus the
