@@ -490,8 +490,13 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with the SQL-portable token hash (md5_60),
+    so the ENTIRE pipeline — tokenization, per-bit vote sums, fingerprint
+    assembly, Hamming threshold — is value-checked against a DuckDB
+    all-pairs oracle (banding has exact recall by pigeonhole, so the
+    banded join and the all-pairs join must produce identical pairs)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3, token_hash="md5_60")
 
 
 # --------------------------------------------------------------------------
@@ -533,16 +538,10 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-def media_decode_stub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-    )
-    return decode_media(media).select(
-        "media_id", "media_type", "n_bytes", "width", "height", "n_frames"
-    )
+# (the former media_decode_stub gate — the deterministic-fake decode
+# kernel — is redundant with media_decode, which oracles the same
+# mapInPandas plumbing with a REAL header decoder; the fake kernel stays
+# covered by tests/test_operators.py::test_decode_media_fake_kernel)
 
 
 def media_decode(spark, sf_dir):
@@ -676,6 +675,36 @@ JOIN sizes sa ON sa.doc_id = common.id_a
 JOIN sizes sb ON sb.doc_id = common.id_b
 WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.5
 """
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """The simhash pipeline re-expressed in DuckDB: same tokenization
+    (normalize + split on single spaces, ALL occurrences), same md5_60
+    token hash (low 60 bits of md5 via hex→int), same per-bit ±1 vote
+    sums, same fingerprint assembly. The pair join is all-pairs Hamming
+    (the engine's pigeonhole banding is recall-exact, so the outputs must
+    be set-identical)."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {fp} AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
 
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     """The engine's sign-LSH bucket id as DuckDB SQL: the hyperplanes are
@@ -819,15 +848,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta": multimodal_meta,
         "media_decode": media_decode,
-        "media_decode_stub": media_decode_stub,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. Omitted (rows-only check): dedup_simhash_pairs
-    (xxhash64-seeded fingerprints are not reproducible in DuckDB) and
-    media_decode_stub (fake-kernel plumbing gate; the real header-decode
-    path is oracle-checked via media_decode).
+    """DuckDB oracles — one per queries() entry (every gate is
+    value-checked; nothing is rows-only). dedup_simhash_pairs is oracled
+    via the SQL-portable md5_60 token hash: the whole pipeline (tokenize
+    → per-bit vote sums → fingerprint → Hamming≤k pairs) is re-expressed
+    in DuckDB, with an all-pairs join standing in for the recall-exact
+    pigeonhole banding.
 
     dedup_minhash_lsh uses the exact-Jaccard oracle: the verification step
     makes precision 1.0, and at this corpus's similarity profile (planted
@@ -999,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(n_bits=8, dim=64, k=10),
         "dedup_embedding_near_lsh": _embedding_near_lsh_sql(n_bits=4, dim=64, threshold=0.45),

@@ -257,12 +257,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+# token-hash choices for simhash: xxhash64 (default — full 64 bits, fastest)
+# or md5_60 (the low 60 bits of md5, via conv(hex,16,10)) — slightly slower
+# but expressible in ANY SQL engine with md5(), which is what lets the
+# DuckDB oracle verify the whole simhash pipeline value-for-value. Bits
+# 60-63 of an md5_60 simhash are always 0 (their per-bit sums are -n).
+_TOKEN_HASHES = {
+    "xxhash64": lambda c: F.xxhash64(c),
+    "md5_60": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+}
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64") -> DataFrame:
     """(id, simhash long): sign of the per-bit sum of token hashes.
     64 conditional sums in one groupBy — map-side combined, no UDF."""
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _TOKEN_HASHES[token_hash](F.col("tok")))
     )
     aggs = [
         F.sum(
@@ -277,13 +288,21 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("id", bit.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of their simhash.
     Pigeonhole banding: split 64 bits into (max_hamming+1) bands; distance
-    ≤ k ⇒ at least one band identical — join only within equal bands."""
+    ≤ k ⇒ at least one band identical — join only within equal bands.
+    Banding is recall-exact (pure pigeonhole), so an all-pairs Hamming
+    join is a valid oracle for the whole pipeline."""
     nb = max_hamming + 1
     width = 64 // nb
-    sh = simhash64(df, id_col, text_col)
+    sh = simhash64(df, id_col, text_col, token_hash)
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
