@@ -24,17 +24,26 @@ from patuha_etl_dlt_spark.lake.metadata import atomic_write
 
 
 class CheckpointStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, batch_retention: int | None = None):
+        """``batch_retention``: keep only the K most recent batch ids in
+        the state document (None = unbounded). The cumulative list makes
+        every commit O(history) at a 10^10-event feed; with retention the
+        document stays O(partitions + K). ``n_batches_total`` still counts
+        every commit. Match the lake table's retention so the idempotence
+        horizons agree."""
         self.root = root
+        self.batch_retention = batch_retention
         self.state_path = os.path.join(root, "state.json")
         self.metrics_path = os.path.join(root, "metrics.jsonl")
         os.makedirs(root, exist_ok=True)
 
     def read(self) -> dict:
         if not os.path.exists(self.state_path):
-            return {"offsets": {}, "batches": []}
+            return {"offsets": {}, "batches": [], "n_batches_total": 0}
         with open(self.state_path) as f:
-            return json.load(f)
+            st = json.load(f)
+        st.setdefault("n_batches_total", len(st["batches"]))
+        return st
 
     def offsets(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.read()["offsets"].items()}
@@ -46,6 +55,9 @@ class CheckpointStore:
             merged[int(p)] = max(merged.get(int(p), -1), int(lsn))
         if batch_id not in st["batches"]:
             st["batches"].append(batch_id)
+            st["n_batches_total"] = st.get("n_batches_total", 0) + 1
+            if self.batch_retention is not None:
+                st["batches"] = st["batches"][-self.batch_retention :]
         st["offsets"] = {str(k): v for k, v in sorted(merged.items())}
         st["committed_at"] = time.time()
         row = {"batch_id": batch_id, "ts": time.time(), **metrics}
@@ -65,7 +77,7 @@ class CheckpointStore:
         st = self.read()
         committed_at = st.get("committed_at")
         out = {
-            "n_batches": len(st["batches"]),
+            "n_batches": st.get("n_batches_total", len(st["batches"])),
             "last_batch_id": st["batches"][-1] if st["batches"] else None,
             "committed_at": committed_at,
             "last_commit_age_s": round(time.time() - committed_at, 3) if committed_at else None,

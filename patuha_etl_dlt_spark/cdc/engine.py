@@ -56,6 +56,11 @@ class EngineConfig:
     # (reference hygiene analog: staging truncation each cycle,
     # pipeline_management.py:1106-1120). None = caller-managed.
     compact_every: int | None = 8
+    # on the compaction cadence, also drop snapshot manifests (and data
+    # files no kept snapshot references) beyond the last K — bounds
+    # metadata-directory growth on long-running feeds (Iceberg
+    # expire_snapshots analog). None = keep full history (time travel).
+    expire_snapshots_keep: int | None = None
     # Reduce the batch to one winner per key BEFORE text extraction: the
     # pandas UDF then (a) runs post-shuffle, so its parallelism is
     # spark.sql.shuffle.partitions instead of the input-split count — on a
@@ -261,10 +266,14 @@ class CdcEngine:
             # re-parsing the whole state document every batch is a per-batch
             # fixed cost that grows with history
             if self._n_batches is None:
-                self._n_batches = len(self.cp.read()["batches"])
+                self._n_batches = self.cp.read()["n_batches_total"]
             self._n_batches += 1
             if self._n_batches % self.cfg.compact_every == 0:
                 metrics["compacted_buckets"] = self.table.compact_deltas()
+                if self.cfg.expire_snapshots_keep:
+                    metrics["expired_files"] = self.table.expire_snapshots(
+                        keep_last=self.cfg.expire_snapshots_keep
+                    )
         metrics["evolution_ops"] = [
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
             for o in renames

@@ -177,7 +177,13 @@ class Snapshot:
     order_cols: list[str]
     num_buckets: int
     files: list[DataFile]
-    batch_ids: list[str] = field(default_factory=list)  # cumulative, for idempotence
+    # batch ids for idempotent re-apply. With batch_retention=None the list
+    # is cumulative; with retention=K only the K most recent are kept (the
+    # Delta txn-retention pattern) — exactly-once then holds for any replay
+    # within a K-batch horizon, which the engine's checkpoint offsets
+    # guarantee (older events are filtered before they reach the merge).
+    batch_ids: list[str] = field(default_factory=list)
+    batch_retention: int | None = None
     summary: dict = field(default_factory=dict)
     ts: float = 0.0
 
@@ -196,6 +202,7 @@ class Snapshot:
             "num_buckets": self.num_buckets,
             "files": [f.to_json() for f in self.files],
             "batch_ids": self.batch_ids,
+            "batch_retention": self.batch_retention,
             "summary": self.summary,
             "ts": self.ts,
         }
@@ -212,6 +219,7 @@ class Snapshot:
             num_buckets=d["num_buckets"],
             files=[DataFile.from_json(f) for f in d["files"]],
             batch_ids=d.get("batch_ids", []),
+            batch_retention=d.get("batch_retention"),
             summary=d.get("summary", {}),
             ts=d.get("ts", 0.0),
         )

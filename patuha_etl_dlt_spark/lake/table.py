@@ -101,6 +101,7 @@ class LakeTable:
         key_cols: list[str] | str,
         order_col: str | None,
         num_buckets: int = 16,
+        batch_retention: int | None = None,
     ) -> "LakeTable":
         """Create an empty table.
 
@@ -113,6 +114,14 @@ class LakeTable:
         modifier-less tables (the reference's full-refresh dispatch,
         ``pipeline_management.py:2176-2182``): LWW then orders by the
         ``_event_id`` lineage column alone.
+        ``batch_retention``: keep only the K most recent batch ids in each
+        snapshot manifest (None = unbounded). At a 10^10-event feed the
+        cumulative id list would make every commit O(history); with
+        retention the manifest stays O(live files + K) forever. Safe when
+        replays can only come from the last K batches — the engine's
+        checkpoint offsets guarantee exactly that (older events are
+        filtered out before the merge). Leave None for rollup tables fed
+        outside an offset-guarded path.
         """
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         names = [c for c, _ in columns]
@@ -143,6 +152,7 @@ class LakeTable:
             order_cols=[order_col, SYS_EVENT],
             num_buckets=num_buckets,
             files=[],
+            batch_retention=batch_retention,
             summary={"operation": "create"},
         )
         t = LakeTable(spark, root)
@@ -337,6 +347,9 @@ class LakeTable:
         return new_files
 
     def _commit(self, snap: Snapshot, files: list[DataFile], batch_id: str | None, summary: dict) -> Snapshot:
+        ids = snap.batch_ids + ([batch_id] if batch_id else [])
+        if snap.batch_retention is not None:
+            ids = ids[-snap.batch_retention:]
         new = Snapshot(
             version=snap.version + 1,
             parent=snap.version,
@@ -346,7 +359,8 @@ class LakeTable:
             order_cols=snap.order_cols,
             num_buckets=snap.num_buckets,
             files=files,
-            batch_ids=snap.batch_ids + ([batch_id] if batch_id else []),
+            batch_ids=ids,
+            batch_retention=snap.batch_retention,
             summary=summary,
         )
         M.write_snapshot(self.meta_dir, new)
@@ -587,6 +601,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=snap.files,  # metadata-only: no data rewrite
             batch_ids=snap.batch_ids,
+            batch_retention=snap.batch_retention,
             summary={"operation": op},
         )
         M.write_snapshot(self.meta_dir, new)
@@ -610,6 +625,7 @@ class LakeTable:
                 num_buckets=snap.num_buckets,
                 files=snap.files,
                 batch_ids=snap.batch_ids,
+                batch_retention=snap.batch_retention,
                 summary={"operation": f"rename_column:{old}->{new}"},
             ),
         )

@@ -288,3 +288,58 @@ def test_orderless_table_lww_by_event_id(spark, tmp_path):
         batch_id="b2",
     )
     assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "third"}
+
+
+def test_batch_retention_bounds_manifest(spark, tmp_path):
+    """With batch_retention=K the snapshot manifest stays O(live files + K)
+    after 500 commits (Delta txn-retention pattern), and exactly-once
+    still holds for every batch inside the K-batch horizon."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ret"),
+        [("k", "long"), ("v", "string"), ("seq", "long")],
+        key_cols="k", order_col="seq", num_buckets=2, batch_retention=50,
+    )
+    # one real merge (files on disk), then 499 metadata-only commits — the
+    # growth under test is the manifest document, not the data path
+    t.merge(
+        spark.createDataFrame([(1, "a", 1)], "k long, v string, seq long"),
+        batch_id="b0",
+    )
+    sizes = []
+    for i in range(1, 500):
+        snap = t.snapshot
+        t._commit(snap, snap.files, f"b{i}", {"operation": "merge"})
+        if i in (100, 499):
+            sizes.append(os.path.getsize(t.meta_dir + f"/snap-{t.snapshot.version:08d}.json"))
+    snap = t.snapshot
+    assert len(snap.batch_ids) == 50
+    assert snap.batch_ids[-1] == "b499" and "b0" not in snap.batch_ids
+    # manifest size is flat between commit 100 and commit 499
+    assert abs(sizes[1] - sizes[0]) < 64, sizes
+    # exactly-once inside the horizon
+    assert t.has_batch("b499") and t.has_batch("b450")
+    m = t.merge(
+        spark.createDataFrame([(9, "dup", 9)], "k long, v string, seq long"),
+        batch_id="b499",
+    )
+    assert m["skipped"] is True
+    # retention survives schema evolution commits
+    t.add_column("extra", "string")
+    assert t.snapshot.batch_retention == 50 and len(t.snapshot.batch_ids) == 50
+
+
+def test_checkpoint_retention_bounds_state(tmp_path):
+    """CheckpointStore with batch_retention keeps the state document
+    O(partitions + K) while n_batches_total keeps counting."""
+    from patuha_etl_dlt_spark.cdc.checkpoint import CheckpointStore
+
+    cp = CheckpointStore(str(tmp_path / "cp"), batch_retention=20)
+    for i in range(300):
+        cp.commit(f"b{i}", {0: i}, {"events_applied": 1, "seconds": 0.01})
+    st = cp.read()
+    assert len(st["batches"]) == 20 and st["n_batches_total"] == 300
+    assert cp.has_batch("b299") and not cp.has_batch("b0")
+    assert cp.status()["n_batches"] == 300
+    assert cp.offsets() == {0: 299}
