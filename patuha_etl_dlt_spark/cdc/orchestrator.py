@@ -6,18 +6,26 @@ Reference: tables processed in batches of ``BATCH_SIZE=8`` with delays
 row-count sync verification with status ∈ {perfect, partial, failed}
 (``:70-128``, ``database.py:395-433``).
 
-Spark-first differences: there is no connection pool to protect, so the
-"batch of 8" throttle becomes a simple sequential loop (tables are
-independent single-writer lake tables; the FAIR scheduler could run them
-concurrently — kept sequential for deterministic resource use). Retries
-are safe at any point because MERGE commits are atomic and batch-id
-idempotent.
+Spark-first differences: there is no connection pool to protect — the
+reference's "batch of 8" throttle maps to ``max_concurrency``: tables are
+independent single-writer lake tables, so their apply jobs are safe to
+run concurrently from driver threads, each tagged with a FAIR-scheduler
+pool so one table's large job cannot starve the rest. Retries are safe at
+any point because MERGE commits are atomic and batch-id idempotent.
+
+Concurrency note: correctness under concurrent cycles is carried by the
+per-table single-writer invariant plus the bucketed ``partitionBy`` write
+(rows always land in their key's bucket regardless of session-conf
+interleaving); the shuffle-partition session knob two concurrent merges
+both touch is perf-only (worst case a bucket gets >1 file for one commit,
+healed by the compaction cadence).
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,12 +53,19 @@ class SyncOrchestrator:
         configs: list[TableConfig],
         engine_config: EngineConfig | None = None,
         retry_policy: RetryPolicy | None = None,
+        max_concurrency: int = 1,
     ):
+        """``max_concurrency``: how many tables one cycle applies at a time
+        (reference BATCH_SIZE=8, ``pipeline_management.py:2104-2116``,
+        ``config.py:32-33``). 1 = sequential (deterministic resource use);
+        >1 runs applies from a driver thread pool, each in its own FAIR
+        scheduler pool."""
         self.spark = spark
         self.root = root
         self.configs = {c.table: c for c in configs}
         self.retry_policy = retry_policy or RetryPolicy()
         self.retry_queue = RetryQueue()
+        self.max_concurrency = max(1, int(max_concurrency))
         self._engines: dict[str, CdcEngine] = {}
         self._engine_config = engine_config
 
@@ -84,25 +99,49 @@ class SyncOrchestrator:
 
     # -------------------------------------------------------------- cycle
 
+    def _apply_one(self, name: str, df: DataFrame, batch_id: str) -> SyncResult:
+        cfg = self.configs[name]
+        eng = self._engines[name]
+        bid = f"{batch_id}:{name}"
+        # a per-table FAIR pool: with spark.scheduler.mode=FAIR set on the
+        # session, concurrent tables share executor slots fairly instead of
+        # queueing FIFO behind the first table's stages. Local properties
+        # are per-thread, so this is concurrency-safe (unlike session conf).
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"table-{name}")
+        try:
+            if cfg.mode == "snapshot":
+                m = with_retry(lambda: eng.seed_snapshot(df, batch_id=bid), self.retry_policy)
+            else:
+                m = with_retry(lambda: eng.apply_batch(df, batch_id=bid), self.retry_policy)
+            status = "skipped" if m.get("skipped") else "perfect"
+            return SyncResult(name, bid, status, m)
+        except Exception as e:  # noqa: BLE001
+            return SyncResult(name, bid, "failed", {"error": str(e)})
+        finally:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
     def run_cycle(self, batches: dict[str, DataFrame], batch_id: str) -> list[SyncResult]:
         """One sync cycle: apply each table's pending delta (cdc mode) or
         snapshot (snapshot mode), with retry; failures are queued for the
-        next cycle (re-application is idempotent)."""
-        results = []
-        for name, df in batches.items():
-            cfg = self.configs[name]
-            eng = self.engine(name)
-            bid = f"{batch_id}:{name}"
-            try:
-                if cfg.mode == "snapshot":
-                    m = with_retry(lambda: eng.seed_snapshot(df, batch_id=bid), self.retry_policy)
-                else:
-                    m = with_retry(lambda: eng.apply_batch(df, batch_id=bid), self.retry_policy)
-                status = "skipped" if m.get("skipped") else "perfect"
-                results.append(SyncResult(name, bid, status, m))
-            except Exception as e:  # noqa: BLE001
-                self.retry_queue.push(name, bid)
-                results.append(SyncResult(name, bid, "failed", {"error": str(e)}))
+        next cycle (re-application is idempotent). Tables are independent
+        single-writer, so with ``max_concurrency > 1`` they run from a
+        driver thread pool (the Spark-native analog of the reference's
+        BATCH_SIZE-of-8 pipelining); results keep input order and the
+        retry queue is fed from the coordinating thread only."""
+        # instantiate engines up front (dict mutation stays single-threaded)
+        for name in batches:
+            self.engine(name)
+        items = list(batches.items())
+        if self.max_concurrency > 1 and len(items) > 1:
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                results = list(
+                    pool.map(lambda kv: self._apply_one(kv[0], kv[1], batch_id), items)
+                )
+        else:
+            results = [self._apply_one(name, df, batch_id) for name, df in items]
+        for r in results:
+            if r.status == "failed":
+                self.retry_queue.push(r.table, r.batch_id)
         return results
 
     # -------------------------------------------------------------- health

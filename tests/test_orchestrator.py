@@ -96,6 +96,66 @@ def test_multi_table_cycle_and_verify(spark, tmp_path):
     assert all(r.status == "skipped" for r in res2.values())
 
 
+def test_concurrent_cycle_matches_sequential(spark, tmp_path):
+    """max_concurrency > 1 (reference BATCH_SIZE pipelining): three tables
+    applied from a thread pool produce byte-identical table states to the
+    sequential cycle, exactly-once replay holds, and a failing table still
+    lands in the retry queue without disturbing the others."""
+    def batch1(s):
+        return {
+            "pages": pages_events(s, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1")]),
+            "page_links": links_events(s, [(1, "I", "a", "b", 1, 10)]),
+            "pages_snap": pages_events(s, [(1, "I", "s", 1, "S1")]).drop("op"),
+        }
+
+    def batch2(s):
+        return {
+            "pages": pages_events(s, [(3, "U", "a", 5, "A2"), (4, "D", "b", 5, "X")]),
+            "page_links": links_events(s, [(2, "U", "a", "b", 5, 20)]),
+            "pages_snap": pages_events(s, [(9, "I", "s2", 9, "S2")]).drop("op"),
+        }
+
+    def state(orch):
+        return {
+            "pages": {(r["url"], r["text"]) for r in orch.engine("pages").table.read().collect()},
+            "page_links": {
+                (r["src_url"], r["dst_url"], r["w"])
+                for r in orch.engine("page_links").table.read().collect()
+            },
+            "pages_snap": {
+                (r["url"], r["text"]) for r in orch.engine("pages_snap").table.read().collect()
+            },
+        }
+
+    seq = SyncOrchestrator(
+        spark, str(tmp_path / "seq"), configs(), EngineConfig(extract_text=False)
+    )
+    con = SyncOrchestrator(
+        spark, str(tmp_path / "con"), configs(), EngineConfig(extract_text=False),
+        max_concurrency=3,
+    )
+    for orch in (seq, con):
+        for cyc, mk in (("c1", batch1), ("c2", batch2)):
+            res = orch.run_cycle(mk(spark), cyc)
+            assert all(r.status == "perfect" for r in res), res
+    assert state(con) == state(seq) != {}
+
+    # replaying a full cycle concurrently is a no-op (exactly-once)
+    res = con.run_cycle(batch2(spark), "c2")
+    assert all(r.status == "skipped" for r in res)
+
+    # a poisoned table fails alone; healthy tables in the same concurrent
+    # cycle commit; the retry queue records only the failure
+    con.retry_policy = RetryPolicy(max_attempts=1, base_delay_s=0.01)
+    mixed = {
+        "pages": pages_events(spark, [(5, "I", "a", 1, "A1")]).drop("warc_ts"),  # bad
+        "page_links": links_events(spark, [(3, "U", "a", "b", 9, 30)]),
+    }
+    res = {r.table: r for r in con.run_cycle(mixed, "c3")}
+    assert res["pages"].status == "failed" and res["page_links"].status == "perfect"
+    assert con.retry_queue.drain() == [("pages", "c3:pages")]
+
+
 def test_failed_table_goes_to_retry_queue(spark, tmp_path):
     orch = SyncOrchestrator(
         spark, str(tmp_path), configs(),
