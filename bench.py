@@ -311,22 +311,30 @@ def main() -> None:
             int(os.environ.get("BENCH_SCALE_N", "4")) * 4,
         )
         # scaling workload: Common-Crawl-representative ~8.5 KB pages
-        # (body_paragraphs=48) in 200k-event batches — extraction CPU
-        # dominates, as it would on a real cluster; the 1.5 KB headline
-        # workload is bandwidth-bound on this single box and measures the
-        # shared memory bus instead of the engine (see shuffle control)
-        sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "600000"))
+        # (body_paragraphs=48) in 300k-event batches — extraction CPU
+        # dominates, as it would on a real cluster, and the larger batch
+        # amortizes the ~1-2 s per-batch fixed term (job scheduling +
+        # O(num_buckets) parquet-writer setup; decomposition in
+        # BASELINE.md) that otherwise caps the Amdahl ratio. The 1.5 KB
+        # headline workload is bandwidth-bound on this single box and
+        # measures the shared memory bus instead of the engine (see
+        # shuffle control).
+        sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "900000"))
         sc_paras = int(os.environ.get("BENCH_SCALE_BODY_PARAS", "48"))
         sc_batches = int(os.environ.get("BENCH_SCALE_BATCHES", "2"))
         sc_reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+        max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", "4"))
         # INTERLEAVE the two levels and repeat: the VM has multi-minute
         # co-tenant contention windows (identical runs vary 5-8×); a single
         # N run crushed by a window makes efficiency garbage in either
         # direction. Best-per-level across alternating reps cancels slow
-        # drift; an efficiency > 1.05 is flagged as noise (physically
-        # impossible for 4× the cores).
+        # drift; an efficiency > 1.05 is physically impossible for 4× the
+        # cores, so it flags a noise-poisoned measurement — flagged runs
+        # auto-extend with additional interleaved rep pairs (up to
+        # BENCH_SCALE_MAX_REPS) instead of being recorded as-is.
         reps: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        for _ in range(sc_reps):
+
+        def run_pair() -> None:
             for c in (n_lo, n_hi):
                 r = subprocess.run(
                     scaling_child_cmd(c, sc_events, sc_paras, sc_batches),
@@ -337,50 +345,64 @@ def main() -> None:
                 )
                 line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
                 reps[c].append(json.loads(line))
-        for c in (n_lo, n_hi):
-            rs = reps[c]
-            best = max(rs, key=lambda x: x["events_per_sec_best"])
-            scaling[f"local{c}"] = {
-                "events_per_sec": max(x["events_per_sec"] for x in rs),
-                "events_per_sec_best": best["events_per_sec_best"],
-                "apply_seconds": best["apply_seconds"],
-                "reps_events_per_sec_best": [x["events_per_sec_best"] for x in rs],
-                "extract_rows_per_sec": max(x["extract_probe"]["rows_per_sec"] for x in rs),
-                "extract_best_seconds": min(min(x["extract_probe"]["runs"]) for x in rs),
-                "shuffle_control_rows_per_sec": max(
-                    x["shuffle_control"]["rows_per_sec"] for x in rs
-                ),
-            }
-        child = reps[n_hi][-1]
-        lo, hi = scaling[f"local{n_lo}"], scaling[f"local{n_hi}"]
-        scaling["pair"] = [n_lo, n_hi]
-        # efficiency from best-batch capability (robust to co-tenant noise
-        # windows; see run_cdc_bench) — median-based also reported
-        scaling["pipeline_speedup_n_to_4n"] = round(
-            hi["events_per_sec_best"] / lo["events_per_sec_best"], 3
-        )
-        scaling["pipeline_efficiency_n_to_4n"] = round(
-            hi["events_per_sec_best"] / (4 * lo["events_per_sec_best"]), 3
-        )
-        scaling["pipeline_efficiency_median"] = round(
-            hi["events_per_sec"] / (4 * lo["events_per_sec"]), 3
-        )
-        xlo = child["extract_probe"]["rows"] / lo["extract_best_seconds"]
-        xhi = child["extract_probe"]["rows"] / hi["extract_best_seconds"]
-        scaling["extract_speedup_n_to_4n"] = round(xhi / xlo, 3)
-        scaling["extract_efficiency_n_to_4n"] = round(xhi / (4 * xlo), 3)
-        # engine-free control: raw repartition+write of the same payload.
-        # pipeline efficiency ≤ control efficiency ⇒ the residual gap is
-        # the host's shared memory/IO bus, not the engine's plan.
-        scaling["control_shuffle_efficiency_n_to_4n"] = round(
-            hi["shuffle_control_rows_per_sec"] / (4 * lo["shuffle_control_rows_per_sec"]), 3
-        )
-        scaling["events"] = sc_events
-        scaling["body_paragraphs"] = sc_paras
-        scaling["noise_suspect"] = (
-            scaling["pipeline_efficiency_n_to_4n"] > 1.05
-            or scaling["extract_efficiency_n_to_4n"] > 1.05
-        )
+
+        def summarize() -> dict:
+            out: dict = {}
+            for c in (n_lo, n_hi):
+                rs = reps[c]
+                best = max(rs, key=lambda x: x["events_per_sec_best"])
+                out[f"local{c}"] = {
+                    "events_per_sec": max(x["events_per_sec"] for x in rs),
+                    "events_per_sec_best": best["events_per_sec_best"],
+                    "apply_seconds": best["apply_seconds"],
+                    "per_batch_seconds": best["per_batch_seconds"],
+                    "warmup_batch_seconds": best["warmup_batch_seconds"],
+                    "reps_events_per_sec_best": [x["events_per_sec_best"] for x in rs],
+                    "extract_rows_per_sec": max(x["extract_probe"]["rows_per_sec"] for x in rs),
+                    "extract_best_seconds": min(min(x["extract_probe"]["runs"]) for x in rs),
+                    "shuffle_control_rows_per_sec": max(
+                        x["shuffle_control"]["rows_per_sec"] for x in rs
+                    ),
+                }
+            lo, hi = out[f"local{n_lo}"], out[f"local{n_hi}"]
+            out["pair"] = [n_lo, n_hi]
+            # efficiency from best-batch capability (robust to co-tenant
+            # noise windows; see run_cdc_bench) — median-based also reported
+            out["pipeline_speedup_n_to_4n"] = round(
+                hi["events_per_sec_best"] / lo["events_per_sec_best"], 3
+            )
+            out["pipeline_efficiency_n_to_4n"] = round(
+                hi["events_per_sec_best"] / (4 * lo["events_per_sec_best"]), 3
+            )
+            out["pipeline_efficiency_median"] = round(
+                hi["events_per_sec"] / (4 * lo["events_per_sec"]), 3
+            )
+            rows = reps[n_hi][-1]["extract_probe"]["rows"]
+            xlo = rows / lo["extract_best_seconds"]
+            xhi = rows / hi["extract_best_seconds"]
+            out["extract_speedup_n_to_4n"] = round(xhi / xlo, 3)
+            out["extract_efficiency_n_to_4n"] = round(xhi / (4 * xlo), 3)
+            # engine-free control: raw repartition+write of the same payload.
+            # pipeline efficiency ≤ control efficiency ⇒ the residual gap is
+            # the host's shared memory/IO bus, not the engine's plan.
+            out["control_shuffle_efficiency_n_to_4n"] = round(
+                hi["shuffle_control_rows_per_sec"] / (4 * lo["shuffle_control_rows_per_sec"]), 3
+            )
+            out["events"] = sc_events
+            out["body_paragraphs"] = sc_paras
+            out["rep_pairs"] = len(reps[n_lo])
+            out["noise_suspect"] = (
+                out["pipeline_efficiency_n_to_4n"] > 1.05
+                or out["extract_efficiency_n_to_4n"] > 1.05
+            )
+            return out
+
+        for _ in range(sc_reps):
+            run_pair()
+        scaling = summarize()
+        while scaling["noise_suspect"] and len(reps[n_lo]) < max_reps:
+            run_pair()
+            scaling = summarize()
 
     total = cdc["apply_seconds"] + sum(queries.values())
     print(

@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # task-side file commit (FileOutputCommitter v2): a bucketed MERGE
+        # writes one file per touched bucket, and v1's job-commit renames
+        # them SERIALLY on the driver — an O(num_buckets) per-batch fixed
+        # term that cannot scale with executors. v2 commits during task
+        # commit (parallel). Safe here: every engine write goes to a fresh
+        # uuid directory and becomes visible only via the snapshot-manifest
+        # pointer swap, so a partially-committed job is invisible — the
+        # manifest, not _SUCCESS, is the source of truth.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
