@@ -320,6 +320,26 @@ class LakeTable:
             df = df.drop(*SYS_COLS)
         return df
 
+    def lookup(self, keys, include_system: bool = False) -> DataFrame:
+        """Point lookup: current rows for the given key values, reading
+        ONLY the buckets those keys hash into — the CDC operator's "did
+        url X land?" read, O(keys/num_buckets · state) instead of a full
+        scan. ``keys``: list of key values (tuples for composite keys).
+        Buckets are computed with the same `_bucket_expr` the writer used
+        (one driver-local job over the tiny key list — never a table
+        scan), then the pruned read is semi-joined back to the keys."""
+        snap = self.snapshot
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        kfields = [next(f for f in snap.schema.fields if f.name == kc) for kc in snap.key_cols]
+        kdf = self.spark.createDataFrame(
+            rows, ", ".join(f"{f.name} {f.type}" for f in kfields)
+        )
+        buckets = {
+            r[0] for r in kdf.select(self._bucket_expr(snap).alias("b")).distinct().collect()
+        }
+        df = self.read_buckets(buckets, include_system=include_system)
+        return df.join(F.broadcast(kdf), snap.key_cols, "semi")
+
     # -------------------------------------------------------------- writes
 
     def _write_files(

@@ -343,3 +343,27 @@ def test_checkpoint_retention_bounds_state(tmp_path):
     assert cp.has_batch("b299") and not cp.has_batch("b0")
     assert cp.status()["n_batches"] == 300
     assert cp.offsets() == {0: 299}
+
+
+def test_point_lookup_prunes_buckets(spark, tmp_path):
+    """lookup(keys) reads only the buckets the keys hash into (checked
+    via inputFiles) and returns exactly the live rows for those keys."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pl"),
+        [("k", "string"), ("v", "string"), ("seq", "long")],
+        key_cols="k", order_col="seq", num_buckets=8,
+    )
+    rows = [(f"url-{i}", f"v{i}", i) for i in range(400)]
+    t.merge(spark.createDataFrame(rows, "k string, v string, seq long"), batch_id="b")
+    assert len({f.bucket for f in t.snapshot.files}) == 8
+
+    df = t.lookup(["url-7", "url-123", "url-nope"])
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {"url-7": "v7", "url-123": "v123"}
+
+    # file-level pruning: the scan must touch at most 2 of the 8 buckets
+    read = df.inputFiles()
+    touched = {
+        f.bucket for f in t.snapshot.files if any(rf.endswith(f.path) for rf in read)
+    }
+    assert len(touched) <= 2 < 8, touched
