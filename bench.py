@@ -369,7 +369,7 @@ def main() -> None:
         # shuffle control). The feed is the PARENT-generated shared one.
         sc_batches = int(os.environ.get("BENCH_SCALE_BATCHES", "2"))
         sc_reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
-        max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", "4"))
+        max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", "5"))
         # INTERLEAVE the two levels and repeat: the VM has multi-minute
         # co-tenant contention windows (identical runs vary 5-8×); a single
         # N run crushed by a window makes efficiency garbage in either
@@ -445,9 +445,23 @@ def main() -> None:
             out["body_paragraphs"] = sc_paras
             out["rep_pairs"] = len(reps[n_lo])
             # the recorded flag covers the RECORDED metric (pipeline
-            # efficiency); impossible control ratios are flagged
-            # separately as data-quality notes on the controls themselves
-            out["noise_suspect"] = out["pipeline_efficiency_n_to_4n"] > 1.05
+            # efficiency): > 1.05 is physically impossible for 4× the
+            # cores, and within-level best-batch dispersion > 1.6× across
+            # reps means at least one arm never saw a quiet window, so the
+            # best-per-level ratio mixes a clean arm with a crushed one.
+            # Impossible control ratios are flagged separately as
+            # data-quality notes on the controls themselves.
+            disp = max(
+                (max(rs) / max(min(rs), 1e-9))
+                for rs in (
+                    out[f"local{n_lo}"]["reps_events_per_sec_best"],
+                    out[f"local{n_hi}"]["reps_events_per_sec_best"],
+                )
+            )
+            out["rep_dispersion"] = round(disp, 3)
+            out["noise_suspect"] = (
+                out["pipeline_efficiency_n_to_4n"] > 1.05 or disp > 1.6
+            )
             out["extract_noise_suspect"] = out["extract_efficiency_n_to_4n"] > 1.05
             out["control_noise_suspect"] = out["control_shuffle_efficiency_n_to_4n"] > 1.05
             return out
