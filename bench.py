@@ -308,7 +308,7 @@ def main() -> None:
     ap.add_argument("--no-scaling", action="store_true")
     args = ap.parse_args()
 
-    sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "1800000"))
+    sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "900000"))
     sc_paras = int(os.environ.get("BENCH_SCALE_BODY_PARAS", "48"))
 
     spark = make_spark(args.cpus)
@@ -359,14 +359,19 @@ def main() -> None:
             int(os.environ.get("BENCH_SCALE_N", "4")) * 4,
         )
         # scaling workload: Common-Crawl-representative ~8.5 KB pages
-        # (body_paragraphs=48) in 600k-event timed batches — extraction
-        # CPU dominates, as it would on a real cluster, and the large
-        # batch amortizes the measured ~2-3 s per-batch fixed term (job
-        # scheduling + O(num_buckets) parquet-writer setup; decomposition
-        # in BASELINE.md) that otherwise caps the Amdahl ratio. The 1.5 KB
-        # headline workload is bandwidth-bound on this single box and
-        # measures the shared memory bus instead of the engine (see
-        # shuffle control). The feed is the PARENT-generated shared one.
+        # (body_paragraphs=48) in 300k-event timed batches. Batch size is
+        # a measurement trade-off on this co-tenant VM: bigger batches
+        # amortize the ~2-3 s per-batch fixed term (job scheduling +
+        # O(num_buckets) parquet-writer setup; decomposition in
+        # BASELINE.md), but a batch longer than the host's quiet windows
+        # can never produce a clean best-sample — 600k-event batches
+        # measured ~25 s/batch at BOTH core counts (speedup 0.99) while
+        # the short controls in the same children were clean (0.78-0.91).
+        # 300k (~10-25 s) is the widest batch that still fits a window.
+        # The 1.5 KB headline workload is bandwidth-bound on this single
+        # box and measures the shared memory bus instead of the engine
+        # (see shuffle control). The feed is the PARENT-generated shared
+        # one.
         sc_batches = int(os.environ.get("BENCH_SCALE_BATCHES", "2"))
         sc_reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
         max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", "5"))
@@ -397,7 +402,13 @@ def main() -> None:
                     timeout=1800,
                 )
                 line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-                reps[c].append(json.loads(line))
+                rep = json.loads(line)
+                # host co-tenancy evidence: 1-minute load right after the
+                # child (the guest sees steal as idle; load is the best
+                # available proxy for "was this arm's window quiet")
+                with open("/proc/loadavg") as f:
+                    rep["loadavg_after"] = float(f.read().split()[0])
+                reps[c].append(rep)
 
         def summarize() -> dict:
             out: dict = {}
@@ -411,6 +422,7 @@ def main() -> None:
                     "per_batch_seconds": best["per_batch_seconds"],
                     "warmup_batch_seconds": best["warmup_batch_seconds"],
                     "reps_events_per_sec_best": [x["events_per_sec_best"] for x in rs],
+                    "reps_loadavg_after": [x.get("loadavg_after") for x in rs],
                     "extract_rows_per_sec": max(x["extract_probe"]["rows_per_sec"] for x in rs),
                     "extract_best_seconds": min(min(x["extract_probe"]["runs"]) for x in rs),
                     "shuffle_control_rows_per_sec": max(
