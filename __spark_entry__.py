@@ -135,6 +135,58 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def cdc_pull_cycle(spark, sf_dir):
+    """Closed-loop pull gate: TWO ``SyncOrchestrator.pull_cycle`` rounds
+    over a deterministic polling source (the events table as it would look
+    at T1 = first half of the event-id space, then at T2 = all of it).
+    Exercises the reference's actual entry loop end-to-end
+    (``db_pipeline.py:75-94``): checkpointed-cursor read → incremental
+    scan filtered by it → exactly-once MERGE → cursor advance. Cycle 2
+    MUST only see rows above cycle 1's cursor; the final state equals the
+    one-shot LWW SQL over all events."""
+    from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
+    from patuha_etl_dlt_spark.config import TableConfig
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    cut = ev.agg(F.max("event_id")).first()[0] // 2
+    phase = {"n": 1}
+
+    def source(spark_, last):
+        feed = ev if phase["n"] == 2 else ev.filter(F.col("event_id") <= cut)
+        return feed.filter(F.col("event_id") > (last if last is not None else -1))
+
+    cfg = TableConfig(
+        table="pull", merge_key=("user_id",), cursor="event_id",
+        columns=(("user_id", "long"), ("event_id", "long"),
+                 ("event_type", "string"), ("value", "double")),
+        num_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="entry_pull_")
+    orch = SyncOrchestrator(spark, root, [cfg], sources={"pull": source})
+    (r1,) = orch.pull_cycle("t1")
+    assert r1.status == "perfect", r1.metrics
+    assert orch.engine("pull").cp.cursor() == cut  # cursor advanced to T1's edge
+    phase["n"] = 2
+    (r2,) = orch.pull_cycle("t2")
+    assert r2.status == "perfect", r2.metrics
+    assert r2.metrics["last_value"] == cut  # cycle 2 scanned FROM the checkpoint
+    t = orch.engine("pull").table
+    return t.read().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_PULL_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def cdc_incremental_scan(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -808,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_agg": cdc_lww_agg,
         "cdc_lww_salted": cdc_lww_salted,
         "cdc_apply_deletes_lake": cdc_apply_deletes_lake,
+        "cdc_pull_cycle": cdc_pull_cycle,
         "cdc_incremental_scan": cdc_incremental_scan,
         "cdc_watermark": cdc_watermark,
         "cdc_new_records_count": cdc_new_records_count,
@@ -871,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_agg": _LWW_ORACLE,
         "cdc_lww_salted": _LWW_ORACLE,
         "cdc_apply_deletes_lake": _APPLY_ORACLE,
+        "cdc_pull_cycle": _PULL_ORACLE,
         "cdc_incremental_scan": f"""
             SELECT event_type, count(*) AS n,
                    round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value

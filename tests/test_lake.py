@@ -367,3 +367,98 @@ def test_point_lookup_prunes_buckets(spark, tmp_path):
         f.bucket for f in t.snapshot.files if any(rf.endswith(f.path) for rf in read)
     }
     assert len(touched) <= 2 < 8, touched
+
+
+def test_global_overlay_merge_equivalent_and_folds(spark, tmp_path):
+    """overlay='global' (the bucket-count-independent small-batch write
+    path) must produce identical read()/read_buckets() state to bucketed
+    overlays, survive tombstones, refuse replace_buckets until folded, and
+    compact back to one file per bucket."""
+    batches = [
+        [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1"), (3, "I", "c", 1, "C1")],
+        [(4, "U", "a", 2, "A2"), (5, "D", "b", 2, ""), (6, "I", "d", 1, "D1")],
+        [(7, "U", "d", 0, "D0"), (8, "I", "e", 1, "E1")],  # late event loses
+    ]
+    tg = LakeTable.create(
+        spark, str(tmp_path / "g"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    tb = LakeTable.create(
+        spark, str(tmp_path / "b"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    for i, rows in enumerate(batches):
+        mg = tg.merge(ev(spark, rows), batch_id=f"b{i}", overlay="global")
+        tb.merge(ev(spark, rows), batch_id=f"b{i}")
+        assert mg["skipped"] is False
+    want = {"a": "A2", "c": "C1", "d": "D1", "e": "E1"}
+    assert state(tg) == state(tb) == want
+    assert all(f.bucket == -1 and f.kind == "delta" for f in tg.snapshot.files)
+
+    # bucket-pruned read still resolves overlay rows for exactly the
+    # wanted buckets (overlay files are scanned but filtered)
+    snap = tg.snapshot
+    buckets = {
+        r["url"]: r["b"]
+        for r in ev(spark, batches[0] + batches[1] + batches[2])
+        .select("url", tg._bucket_expr(snap).alias("b")).distinct().collect()
+    }
+    wanted = {buckets["a"], buckets["e"]}
+    got = {r["url"]: r["text"] for r in tg.read_buckets(wanted).collect()}
+    assert got == {u: x for u, x in want.items() if buckets[u] in wanted}
+
+    # replace_buckets is guarded while global overlays exist
+    with pytest.raises(ValueError, match="global overlay"):
+        tg.replace_buckets(tg.read_buckets([0]), [0])
+
+    # exactly-once replay with the global layout
+    assert tg.merge(ev(spark, batches[1]), batch_id="b1", overlay="global")["skipped"] is True
+
+    # compaction folds overlays to the pristine one-file-per-bucket layout
+    assert tg.compact_deltas() > 0
+    assert state(tg) == want
+    files = tg.snapshot.files
+    assert all(f.bucket >= 0 and f.kind == "base" for f in files)
+    per_bucket: dict[int, int] = {}
+    for f in files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    # deleted key 'b' must not resurrect post-fold
+    assert "b" not in state(tg)
+
+
+def test_global_overlay_then_cow_merge_folds_everything(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "gc"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    t.merge(ev(spark, [(1, "I", "a", 1, "A1"), (2, "I", "b", 1, "B1")]), batch_id="b0", overlay="global")
+    # a cow merge on a globally-overlaid table performs a full fold (the
+    # overlay overlaps every bucket) — state correct, no -1 files remain
+    t.merge(ev(spark, [(3, "U", "a", 2, "A2"), (4, "I", "c", 1, "C1")]), batch_id="b1", mode="cow")
+    assert state(t) == {"a": "A2", "b": "B1", "c": "C1"}
+    assert all(f.bucket >= 0 for f in t.snapshot.files)
+
+
+def test_delta_reduced_merge_matches_plain(spark, tmp_path):
+    """delta_reduced=True on a pre-reduced batch (one winner per key) is
+    exactly equivalent — winner choice, tombstones, null-key filter."""
+    from patuha_etl_dlt_spark.cdc.dedup import lww_agg
+
+    rows = [
+        (1, "I", "a", 1, "A1"), (2, "U", "a", 3, "A3"), (3, "U", "a", 2, "A2"),
+        (4, "I", "b", 1, "B1"), (5, "D", "b", 2, ""), (6, "I", None, 1, "X"),
+        (7, "I", "c", 1, "C1"),
+    ]
+    t1 = LakeTable.create(
+        spark, str(tmp_path / "r1"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "r2"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    delta = ev(spark, rows)
+    t1.merge(delta, batch_id="b0")
+    reduced = lww_agg(delta.filter(F.col("url").isNotNull()), ["url"], ["warc_ts", "_event_id"])
+    m = t2.merge(reduced, batch_id="b0", delta_reduced=True)
+    assert m["skipped"] is False
+    assert state(t1) == state(t2) == {"a": "A3", "c": "C1"}
+    # tombstone for 'b' is present in both (blocks resurrection)
+    assert t1.read(include_deleted=True, include_system=True).filter("_deleted").count() == 1
+    assert t2.read(include_deleted=True, include_system=True).filter("_deleted").count() == 1

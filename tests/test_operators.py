@@ -178,10 +178,68 @@ def test_decode_media_fake_kernel(spark):
     assert fs.filter("media_id = 2").count() == (n2 + 9) // 10
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _synth_png(width: int, height: int) -> bytes:
+    """A valid 8-bit grayscale PNG via stdlib zlib/struct only (no codec
+    libs needed to WRITE one) — deterministic gradient pixels."""
+    import struct as _s
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return _s.pack(">I", len(data)) + tag + data + _s.pack(">I", zlib.crc32(tag + data))
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + bytes((x * 7 + y * 13) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: 'pil' kernel is live, not gated")
 def test_decode_media_real_kernel_is_gated(spark):
     df = spark.createDataFrame([(1, "image", b"x")], "media_id long, media_type string, payload binary")
     with pytest.raises(Exception):
         decode_media(df, decode_kernel="pil").collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not in this container")
+def test_decode_media_pil_png_roundtrip(spark):
+    """On a cluster WITH Pillow, the compressed-codec path round-trips a
+    real PNG: dimensions from the decoder, grayscale-pixel features."""
+    from patuha_etl_dlt_spark.operators.multimodal import resolve_decode_kernel
+
+    assert resolve_decode_kernel("auto") == "pil"
+    png = _synth_png(13, 7)
+    df = spark.createDataFrame(
+        [(1, "image", png), (2, "image", None)],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media(df, decode_kernel="auto").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (13, 7, 1)
+    assert abs(sum(got[1]["feature"]) - 1.0) < 1e-5
+    assert got[2]["n_bytes"] == 0
+
+
+def test_decode_kernel_auto_resolves_in_this_container():
+    from patuha_etl_dlt_spark.operators.multimodal import resolve_decode_kernel
+
+    want = "pil" if _has_pil() else "headers"
+    assert resolve_decode_kernel("auto") == want
+    assert resolve_decode_kernel("fake") == "fake"  # explicit passes through
 
 
 def test_ngram_jaccard_prefix_filter_is_exact(docs_df):

@@ -1,0 +1,185 @@
+"""Closed-loop pull cycle: checkpointed cursor → pushed-down incremental
+source scan → source-introspection schema evolution → exactly-once MERGE →
+cursor advance. This is the reference's actual entry point
+(``db_pipeline.py:75-94`` + ``get_max_timestamp``
+``pipeline_management.py:39-56`` + INFORMATION_SCHEMA evolution
+``schema_management.py:11-57``) closed end-to-end, verified against a real
+SQL database (embedded Derby)."""
+
+from __future__ import annotations
+
+import pytest
+
+from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
+from patuha_etl_dlt_spark.config import TableConfig
+from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby(spark, tmp_path):
+    db = tmp_path / "pulldb"
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, seq BIGINT, name VARCHAR(64))"
+    )
+    for i in range(100):
+        st.executeUpdate(f"INSERT INTO items VALUES ({i}, {i}, 'name {i}')")
+
+    def exec_sql(sql: str) -> None:
+        st.executeUpdate(sql)
+
+    yield f"jdbc:derby:{db}", exec_sql
+    st.close()
+    conn.close()
+
+
+def make_orch(spark, tmp_path, url, num_buckets=4) -> SyncOrchestrator:
+    # Derby folds unquoted identifiers to upper-case, so the lake columns
+    # carry the names the JDBC scan actually returns
+    cfg = TableConfig(
+        table="items",
+        merge_key=("ID",),
+        cursor="SEQ",
+        columns=(("ID", "long"), ("SEQ", "long"), ("NAME", "string")),
+        num_buckets=num_buckets,
+    )
+    src = JdbcSourceConfig(url=url, table="items", cursor_col="seq", driver=DRIVER)
+    return SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"items": src})
+
+
+def test_pull_cycle_derby_end_to_end(spark, tmp_path, derby):
+    url, exec_sql = derby
+    orch = make_orch(spark, tmp_path, url)
+
+    # cycle 1: cold checkpoint + empty target → full extract
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.status == "perfect" and r1.metrics["rows_pulled"] == 100
+    assert "WHERE" not in r1.metrics["source_query"]
+    t = orch.engine("items").table
+    assert t.read().count() == 100
+    assert orch.engine("items").cp.cursor() == 99
+
+    # upstream inserts + an update with a higher cursor
+    for i in range(100, 150):
+        exec_sql(f"INSERT INTO items VALUES ({i}, {i}, 'name {i}')")
+    exec_sql("UPDATE items SET seq = 150, name = 'renamed 7' WHERE id = 7")
+
+    # cycle 2: ONLY the new/changed rows, predicate pushed to the DB
+    (r2,) = orch.pull_cycle("c2")
+    assert r2.status == "perfect" and r2.metrics["rows_pulled"] == 51
+    assert "WHERE seq > 99" in r2.metrics["source_query"]
+    assert r2.metrics["last_value"] == 99 and r2.metrics["cursor"] == 150
+    state = {r["ID"]: r["NAME"] for r in t.read().collect()}
+    assert len(state) == 150 and state[7] == "renamed 7"
+
+    # cycle 3: nothing new → no-op, cursor parked
+    (r3,) = orch.pull_cycle("c3")
+    assert r3.metrics["rows_pulled"] == 0
+    assert orch.engine("items").cp.cursor() == 150
+    assert t.read().count() == 150
+
+    # replaying a whole cycle id is exactly-once end-to-end
+    (r2b,) = orch.pull_cycle("c2")
+    assert r2b.status == "skipped"
+    assert t.read().count() == 150
+
+
+def test_pull_cycle_source_schema_evolution(spark, tmp_path, derby):
+    url, exec_sql = derby
+    orch = make_orch(spark, tmp_path, url)
+    orch.pull_cycle("c1")
+
+    # the source table grows a column upstream (reference
+    # schema_management.py:79-104: INFORMATION_SCHEMA diff → ALTER ADD)
+    exec_sql("ALTER TABLE items ADD COLUMN extra INTEGER")
+    exec_sql("INSERT INTO items VALUES (200, 200, 'with extra', 7)")
+
+    (r,) = orch.pull_cycle("c2")
+    assert {"kind": "add", "name": "EXTRA", "typ": "int"} in r.metrics["evolution_ops"]
+    t = orch.engine("items").table
+    assert "EXTRA" in [f.name for f in t.schema.fields]
+    rows = {r["ID"]: r["EXTRA"] for r in t.read().collect()}
+    assert rows[200] == 7 and rows[0] is None  # old + new generations coexist
+
+
+def test_pull_cycle_callable_source_widen_and_cold_restart(spark, tmp_path):
+    """(a) a source whose cursor/value column WIDENS upstream (int→long)
+    evolves the lake column before apply; (b) a fresh checkpoint dir
+    against an existing target re-derives the cursor from the target (the
+    reference's get_max_timestamp fallback) instead of re-pulling history."""
+    import shutil
+
+    pulls = []
+
+    def source(spark_, last):
+        pulls.append(last)
+        if len(pulls) <= 2:
+            return spark_.createDataFrame(
+                [(i, i, i * 10) for i in range(5)], "k long, c long, v int"
+            ).filter(f"c > {-1 if last is None else last}")
+        # later generation: v widened to long upstream, new rows
+        return spark_.createDataFrame(
+            [(i, i, i * 10_000_000_000) for i in range(5, 8)], "k long, c long, v long"
+        ).filter(f"c > {-1 if last is None else last}")
+
+    cfg = TableConfig(
+        table="w", merge_key=("k",), cursor="c",
+        columns=(("k", "long"), ("c", "long"), ("v", "int")), num_buckets=4,
+    )
+    orch = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"w": source})
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.metrics["rows_pulled"] == 5 and pulls[-1] is None
+
+    # cold restart: wipe ONLY the checkpoint state; target survives
+    shutil.rmtree(str(tmp_path / "sync" / "checkpoints" / "w"))
+    orch2 = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"w": source})
+    (r2,) = orch2.pull_cycle("c2")
+    # cursor re-derived from the target (max c == 4): nothing re-pulled
+    assert pulls[-1] == 4 and r2.metrics["rows_pulled"] == 0
+
+    (r3,) = orch2.pull_cycle("c3")
+    assert {"kind": "widen", "name": "v", "typ": "long"} in r3.metrics["evolution_ops"]
+    t = orch2.engine("w").table
+    assert dict((f.name, f.type) for f in t.schema.fields)["v"] == "long"
+    vals = {r["k"]: r["v"] for r in t.read().collect()}
+    assert vals[0] == 0 and vals[7] == 70_000_000_000 and len(vals) == 8
+
+
+def test_pull_cycle_crash_between_merge_and_checkpoint_heals(spark, tmp_path):
+    """If the MERGE commits but the checkpoint doesn't (crash window),
+    re-running the same cycle id heals: merge skips (batch-id), checkpoint
+    is re-committed, and the NEXT cycle converges by re-pulling the gap
+    (LWW re-application is idempotent)."""
+    import os
+
+    def source(spark_, last):
+        return spark_.createDataFrame(
+            [(i, i, f"n{i}") for i in range(10)], "k long, c long, n string"
+        ).filter(f"c > {-1 if last is None else last}")
+
+    cfg = TableConfig(
+        table="h", merge_key=("k",), cursor="c",
+        columns=(("k", "long"), ("c", "long"), ("n", "string")), num_buckets=4,
+    )
+    orch = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"h": source})
+    orch.pull_cycle("c1")
+    eng = orch.engine("h")
+    assert eng.cp.cursor() == 9
+
+    # simulate the crash: the checkpoint write never happened
+    os.unlink(eng.cp.state_path)
+    assert eng.cp.cursor() is None
+
+    (r,) = orch.pull_cycle("c1")  # same cycle id replayed after "restart"
+    assert r.status == "skipped" and eng.cp.has_batch("c1:h")
+
+    # next cycle: cursor re-derived from target, gap re-pull converges
+    (r2,) = orch.pull_cycle("c2")
+    assert r2.metrics["rows_pulled"] == 0
+    assert eng.table.read().count() == 10 and eng.cp.cursor() == 9

@@ -154,3 +154,25 @@ def test_decimal_lake_column_roundtrip(spark, tmp_path):
     t.merge(d, batch_id="b")
     got = t.read().collect()
     assert len(got) == 1 and got[0]["amt"] == decimal.Decimal("2.250000")
+
+
+def test_fold_casts_group_key_types_before_bucketing(spark, tmp_path):
+    """A delta whose group-key column arrives as a NARROWER type than the
+    lake schema (int vs long) must fold cleanly: murmur3 of int(5) and
+    long(5) differ, so bucket discovery must hash the CAST values the
+    write path uses, or apply_batch dies with the stray-bucket ValueError
+    after data files are already written."""
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "rk"), [("k", "long")], {"n": ("count", "v", "long")},
+        num_buckets=8,
+    )
+    delta_int = spark.createDataFrame([(i % 5, i) for i in range(40)], "k int, v int")
+    m = ru.apply_batch(delta_int, batch_id="b0")
+    assert m["skipped"] is False
+    got = {r["k"]: r["n"] for r in ru.read().collect()}
+    assert got == {k: 8 for k in range(5)}
+    # fold a second (long-typed) batch on top: combines must line up
+    delta_long = spark.createDataFrame([(i % 5, i) for i in range(10)], "k long, v long")
+    ru.apply_batch(delta_long, batch_id="b1")
+    got = {r["k"]: r["n"] for r in ru.read().collect()}
+    assert got == {k: 10 for k in range(5)}
