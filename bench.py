@@ -112,6 +112,7 @@ def run_cdc_bench(
     from pyspark.sql import functions as F
 
     from patuha_etl_dlt_spark.cdc import CdcEngine, CheckpointStore
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
     from patuha_etl_dlt_spark.cdc.envelope import PAGES_COLUMNS
     from patuha_etl_dlt_spark.lake import LakeTable
     from patuha_etl_dlt_spark.sources.feedgen import generate_events_distributed
@@ -135,7 +136,20 @@ def run_cdc_bench(
             order_col="warc_ts",
             num_buckets=64,
         )
-        eng = CdcEngine(table, CheckpointStore(os.path.join(work, "cp")))
+        # BENCH_OVERLAY: mor overlay layout for the applies. Default
+        # 'global' (plain coalesced overlay files, bucket=-1): write cost
+        # is independent of num_buckets AND — the bigger effect — the
+        # whole batch plan runs at the session's natural shuffle width
+        # instead of being pinned to 64 partitions for the bucketed write
+        # (on a 4-core arm that pinning forces ~40 pandas-UDF workers onto
+        # 4 cores — measured ~2× slower batches; parallelism should scale
+        # with cores, not a fixed table property). 'bucket' restores the
+        # read-optimized layout (the engine's own default). Recorded in
+        # the JSON; compaction cost is measured separately below.
+        overlay = os.environ.get("BENCH_OVERLAY", "global")
+        eng = CdcEngine(
+            table, CheckpointStore(os.path.join(work, "cp")), EngineConfig(overlay=overlay)
+        )
         feed = spark.read.parquet(feed_dir)
         step = n_events // (n_batches + n_warmup)
         per_batch = []
@@ -157,6 +171,15 @@ def run_cdc_bench(
                 descriptors=[],
             )
             per_batch.append(round(time.time() - t0, 3))
+        # one full overlay fold AFTER the timed window, reported separately:
+        # sustained operation compacts on a cadence (default every 8
+        # batches), so the deferred cost is disclosed, not hidden in (or
+        # double-counted into) the per-batch apply metric. Both overlay
+        # layouts fold the same bytes here (every batch dirties ~all
+        # buckets at this url/bucket ratio).
+        t0 = time.time()
+        eng.table.compact_deltas()
+        compact_s = round(time.time() - t0, 3)
         timed_events = n_events - n_warmup * step
         apply_s = sum(per_batch[n_warmup:])
         med = statistics.median(per_batch[n_warmup:])
@@ -164,6 +187,7 @@ def run_cdc_bench(
         return {
             "events": n_events,
             "timed_events": timed_events,
+            "overlay": overlay,
             "gen_seconds": round(gen_s, 3),
             "warmup_batch_seconds": per_batch[:n_warmup],
             "apply_seconds": round(apply_s, 3),
@@ -175,6 +199,7 @@ def run_cdc_bench(
             "events_per_sec": round(step / med, 1),
             "events_per_sec_best": round(step / best, 1),
             "per_batch_seconds": per_batch[n_warmup:],
+            "compact_after_seconds": compact_s,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -321,6 +346,7 @@ def main() -> None:
     ap.add_argument("--probe-dir", default=None)
     ap.add_argument("--control-dir", default=None)
     ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--skip-probes", action="store_true")
     args = ap.parse_args()
 
     t_start = time.time()
@@ -341,13 +367,11 @@ def main() -> None:
             n_warmup=args.warmups,
         )
         if args.cdc_only:
-            extract = run_extract_scaling_probe(spark, html_dir=args.probe_dir)
-            control = run_shuffle_control(spark, feed_dir=args.control_dir)
-            print(
-                json.dumps(
-                    {"cpus": args.cpus, **cdc, "extract_probe": extract, "shuffle_control": control}
-                )
-            )
+            out = {"cpus": args.cpus, **cdc}
+            if not args.skip_probes:
+                out["extract_probe"] = run_extract_scaling_probe(spark, html_dir=args.probe_dir)
+                out["shuffle_control"] = run_shuffle_control(spark, feed_dir=args.control_dir)
+            print(json.dumps(out))
             return
         queries = run_query_suite(spark, SF_DIR)
 
@@ -446,7 +470,15 @@ def main() -> None:
                     ),
                     capture_output=True,
                     text=True,
-                    env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
+                    # PYTHONPATH must reach the child's EXECUTOR python
+                    # workers too (cloudpickled UDFs resolve the package by
+                    # module path); sys.path.insert in the child covers only
+                    # its driver side
+                    env={
+                        **os.environ,
+                        "SPARK_GRAFT_CPUS": str(c),
+                        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+                    },
                     # a child that outlives the remaining budget is cut
                     # where the budget ends, not at a fixed 30 min
                     timeout=max(120, min(1800, remaining())),
@@ -487,6 +519,7 @@ def main() -> None:
                 }
             lo, hi = out[f"local{n_lo}"], out[f"local{n_hi}"]
             out["pair"] = [n_lo, n_hi]
+            out["overlay"] = reps[n_hi][-1].get("overlay")
             # efficiency from best-batch capability (robust to co-tenant
             # noise windows; see run_cdc_bench) — median-based also reported
             out["pipeline_speedup_n_to_4n"] = round(
