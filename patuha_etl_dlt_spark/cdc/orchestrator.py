@@ -176,13 +176,35 @@ class SyncOrchestrator:
 
     def _build_scan(self, name: str, last_value) -> tuple[DataFrame, str]:
         """Incremental source scan for ``name`` from ``last_value``;
-        returns (df, human-readable description of what was pushed)."""
-        from patuha_etl_dlt_spark.sources.jdbc import JdbcSourceConfig, read_jdbc
+        returns (df, human-readable description of what was pushed).
+
+        A JDBC source with ``partition_col`` set but no static bounds gets
+        PER-CYCLE bounds probed from the current window (one tiny remote
+        MIN/MAX the DB answers from its index) so the parallel range-
+        partitioned pull follows the table as it grows — vs the
+        reference's single-connection serial extract. An empty window
+        degrades to an unpartitioned scan."""
+        from patuha_etl_dlt_spark.sources.jdbc import (
+            JdbcSourceConfig,
+            probe_partition_bounds,
+            read_jdbc,
+        )
 
         src = self.sources[name]
         if isinstance(src, JdbcSourceConfig):
             cfg = dataclasses.replace(src, last_value=last_value)
-            return read_jdbc(self.spark, cfg), cfg.dbtable()
+            if cfg.partition_col and (cfg.lower_bound is None or cfg.upper_bound is None):
+                bounds = probe_partition_bounds(self.spark, cfg)
+                if bounds is None:
+                    cfg = dataclasses.replace(cfg, partition_col=None)
+                else:
+                    cfg = dataclasses.replace(
+                        cfg, lower_bound=str(bounds[0]), upper_bound=str(bounds[1])
+                    )
+            desc = cfg.dbtable()
+            if cfg.partition_col:
+                desc += f" [range-partitioned x{cfg.num_partitions} on {cfg.partition_col}: {cfg.lower_bound}..{cfg.upper_bound}]"
+            return read_jdbc(self.spark, cfg), desc
         return src(self.spark, last_value), f"callable(last_value={last_value!r})"
 
     def _derive_cursor_from_target(self, eng: CdcEngine, cursor_col: str):

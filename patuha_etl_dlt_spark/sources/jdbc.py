@@ -164,3 +164,26 @@ def read_jdbc(spark: SparkSession, cfg: JdbcSourceConfig) -> DataFrame:
     """Build the JDBC scan. Raises a clear error if no JDBC driver jar is
     on the classpath (none ships in this sandbox)."""
     return spark.read.format("jdbc").options(**cfg.reader_options()).load()
+
+
+def probe_partition_bounds(spark: SparkSession, cfg: JdbcSourceConfig):
+    """MIN/MAX of ``cfg.partition_col`` over the CURRENT extract window
+    (i.e. inside the pushed cursor predicate) — one tiny remote aggregate
+    the source DB answers from its index. The pull loop uses this to set
+    range-partition bounds per cycle: a growing table has no static
+    lower/upper bound, and bounds from a stale window would pile every
+    new row into the first/last partition (Spark range-partitions clamp,
+    they don't drop). Returns (lo, hi) or ``None`` for an empty window."""
+    import dataclasses
+
+    sub = cfg.dbtable()
+    pc = cfg._ident(cfg.partition_col)
+    probe = dataclasses.replace(
+        cfg, partition_col=None, lower_bound=None, upper_bound=None
+    )
+    opts = probe.reader_options()
+    opts["dbtable"] = f"(SELECT MIN({pc}) AS pb_lo, MAX({pc}) AS pb_hi FROM {sub}) pb"
+    row = spark.read.format("jdbc").options(**opts).load().first()
+    if row is None or row[0] is None:
+        return None
+    return row[0], row[1]

@@ -183,3 +183,43 @@ def test_pull_cycle_crash_between_merge_and_checkpoint_heals(spark, tmp_path):
     (r2,) = orch.pull_cycle("c2")
     assert r2.metrics["rows_pulled"] == 0
     assert eng.table.read().count() == 10 and eng.cp.cursor() == 9
+
+
+def test_pull_cycle_dynamic_partition_bounds(spark, tmp_path, derby):
+    """A JDBC source with partition_col but NO static bounds gets
+    per-cycle bounds probed from the current incremental window, so the
+    range-partitioned parallel pull follows the growing table; an empty
+    window degrades to an unpartitioned scan."""
+    url, exec_sql = derby
+    cfg = TableConfig(
+        table="items", merge_key=("ID",), cursor="SEQ",
+        columns=(("ID", "long"), ("SEQ", "long"), ("NAME", "string")), num_buckets=4,
+    )
+    src = JdbcSourceConfig(
+        url=url, table="items", cursor_col="seq",
+        partition_col="seq", num_partitions=4, driver=DRIVER,
+    )
+    orch = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"items": src})
+    orch.engine("items")
+
+    df, desc = orch._build_scan("items", None)
+    assert df.rdd.getNumPartitions() == 4 and df.count() == 100
+    assert "range-partitioned x4" in desc and "0..99" in desc
+
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.status == "perfect" and r1.metrics["rows_pulled"] == 100
+    assert "range-partitioned" in r1.metrics["source_query"]
+
+    # the window moved: bounds re-probed per cycle, not reused stale
+    for i in range(100, 140):
+        exec_sql(f"INSERT INTO items VALUES ({i}, {i}, 'name {i}')")
+    df2, desc2 = orch._build_scan("items", 99)
+    assert df2.count() == 40 and "100..139" in desc2
+
+    (r2,) = orch.pull_cycle("c2")
+    assert r2.metrics["rows_pulled"] == 40
+    assert orch.engine("items").table.read().count() == 140
+
+    # empty window: probe returns None → unpartitioned no-op scan
+    df3, desc3 = orch._build_scan("items", 139)
+    assert df3.count() == 0 and "range-partitioned" not in desc3
