@@ -92,6 +92,7 @@ class CheckpointStore:
         out = {
             "n_batches": st.get("n_batches_total", len(st["batches"])),
             "last_batch_id": st["batches"][-1] if st["batches"] else None,
+            "cursor": st.get("cursor"),
             "committed_at": committed_at,
             "last_commit_age_s": round(time.time() - committed_at, 3) if committed_at else None,
             "offsets": {int(k): int(v) for k, v in st["offsets"].items()},

@@ -308,6 +308,43 @@ class SyncOrchestrator:
                 self.retry_queue.push(r.table, r.batch_id)
         return results
 
+    def run_pull_loop(
+        self,
+        interval_s: float = 0.0,
+        max_cycles: int | None = None,
+        tables: list[str] | None = None,
+        cycle_prefix: str = "cycle",
+    ) -> list[list[SyncResult]]:
+        """The reference's main process loop (``db_pipeline.py:75-94``:
+        ``while True: run_db_sync(); sleep(INTERVAL)``) over ``pull_cycle``.
+        Cycle ids are ``{prefix}-{n}`` with ``n`` continuing from the
+        committed history (restart-safe: a re-run after a crash first
+        replays the last cycle id, which is idempotent end-to-end, then
+        proceeds). Bounded by ``max_cycles`` (None = run forever)."""
+        # resume numbering after the highest committed cycle for any table
+        start = 0
+        for name in tables if tables is not None else self.configs:
+            if name not in self.sources:
+                continue
+            st = self.engine(name).cp.read()
+            for bid in st["batches"]:
+                head = bid.split(":", 1)[0]
+                if head.startswith(f"{cycle_prefix}-"):
+                    try:
+                        start = max(start, int(head.split("-", 1)[1]))
+                    except ValueError:
+                        pass
+        out = []
+        n = 0
+        while max_cycles is None or n < max_cycles:
+            out.append(self.pull_cycle(f"{cycle_prefix}-{start + n}", tables=tables))
+            n += 1
+            if max_cycles is not None and n >= max_cycles:
+                break
+            if interval_s:
+                time.sleep(interval_s)
+        return out
+
     # -------------------------------------------------------------- health
 
     def status(self) -> dict:

@@ -462,3 +462,29 @@ def test_delta_reduced_merge_matches_plain(spark, tmp_path):
     # tombstone for 'b' is present in both (blocks resurrection)
     assert t1.read(include_deleted=True, include_system=True).filter("_deleted").count() == 1
     assert t2.read(include_deleted=True, include_system=True).filter("_deleted").count() == 1
+
+
+def test_read_buckets_under_global_overlay_still_prunes_base(spark, tmp_path):
+    """With a global overlay present, a bucket-pruned read must open ONLY
+    the wanted buckets' base files plus the (small) overlay files — other
+    buckets' base files stay unopened (checked via inputFiles)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pr"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=4
+    )
+    rows = [(i, "I", f"u{i}", 1, f"X{i}") for i in range(40)]
+    t.merge(ev(spark, rows), batch_id="b0")
+    t.compact_deltas()  # bucketed base, one file per bucket
+    t.merge(ev(spark, [(100, "U", "u1", 2, "X1b")]), batch_id="b1", overlay="global")
+
+    snap = t.snapshot
+    base = {f.bucket: f.path for f in snap.files if f.bucket >= 0}
+    overlay_paths = {f.path for f in snap.files if f.bucket == -1}
+    assert len(base) == 4 and overlay_paths
+
+    wanted = 2
+    opened = {p.split(str(tmp_path / "pr") + "/")[-1] for p in t.read_buckets([wanted]).inputFiles()}
+    assert base[wanted] in opened
+    assert overlay_paths <= opened  # overlays overlap everything: scanned (but filtered)
+    for b, path in base.items():
+        if b != wanted:
+            assert path not in opened  # untouched base never opened

@@ -223,3 +223,49 @@ def test_pull_cycle_dynamic_partition_bounds(spark, tmp_path, derby):
     # empty window: probe returns None → unpartitioned no-op scan
     df3, desc3 = orch._build_scan("items", 139)
     assert df3.count() == 0 and "range-partitioned" not in desc3
+
+
+def test_run_pull_loop_resumes_numbering_and_heals(spark, tmp_path):
+    """The continuous loop (reference db_pipeline.py:75-94) numbers cycles
+    from committed history on restart: the last cycle id replays first
+    (idempotent heal), then fresh cycles proceed; a snapshot-mode table
+    full-refreshes every cycle alongside."""
+    feed = {"rows": [(i, i, f"n{i}") for i in range(6)]}
+
+    def cdc_source(spark_, last):
+        return spark_.createDataFrame(feed["rows"], "k long, c long, n string").filter(
+            f"c > {-1 if last is None else last}"
+        )
+
+    def snap_source(spark_, last):
+        return spark_.createDataFrame(feed["rows"], "k long, c long, n string")
+
+    cfgs = [
+        TableConfig(table="t1", merge_key=("k",), cursor="c",
+                    columns=(("k", "long"), ("c", "long"), ("n", "string")), num_buckets=4),
+        TableConfig(table="s1", merge_key=("k",), cursor="", mode="snapshot",
+                    columns=(("k", "long"), ("c", "long"), ("n", "string")), num_buckets=4),
+    ]
+    orch = SyncOrchestrator(
+        spark, str(tmp_path / "sync"), cfgs,
+        sources={"t1": cdc_source, "s1": snap_source},
+    )
+    rounds = orch.run_pull_loop(max_cycles=2)
+    assert len(rounds) == 2
+    assert {r.table: r.status for r in rounds[0]} == {"t1": "perfect", "s1": "perfect"}
+    assert rounds[1][0].metrics["rows_pulled"] == 0  # cdc: nothing new
+    assert rounds[1][1].status == "perfect"  # snapshot: refreshed again
+    assert orch.engine("t1").cp.status()["cursor"] == 5
+
+    # "restart": a new orchestrator resumes numbering — first cycle is the
+    # idempotent replay of cycle-1, then cycle-2 picks up the new rows
+    feed["rows"] = feed["rows"] + [(6, 6, "n6")]
+    orch2 = SyncOrchestrator(
+        spark, str(tmp_path / "sync"), cfgs,
+        sources={"t1": cdc_source, "s1": snap_source},
+    )
+    rounds2 = orch2.run_pull_loop(max_cycles=2)
+    assert rounds2[0][0].status == "skipped"  # cycle-1 replay healed
+    assert rounds2[1][0].metrics["rows_pulled"] == 1  # cycle-2: the new row
+    assert orch2.engine("t1").table.read().count() == 7
+    assert orch2.engine("s1").table.read().count() == 7
