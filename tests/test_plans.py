@@ -126,3 +126,51 @@ def test_rollup_partials_map_side_combined(spark, tmp_path):
     partials = ru._partials(delta)
     assert has_partial_aggregation(partials)
     assert count_exchanges(partials) == 1
+
+
+def test_engine_apply_plan_one_shuffle_and_no_second_reduce(spark, tmp_path):
+    """The full apply path (offset filter → sanitize → pre-reduce →
+    extraction) carries exactly ONE shuffle (the map-side-combined LWW
+    groupBy); with pre_reduce on, the merge must NOT re-reduce the batch
+    (delta_reduced), and the literal-map offset filter must not introduce
+    a broadcast exchange."""
+    import datetime as dt
+
+    from patuha_etl_dlt_spark.cdc import CdcEngine, CheckpointStore
+    from patuha_etl_dlt_spark.cdc.envelope import PAGES_COLUMNS
+    from patuha_etl_dlt_spark.lake import LakeTable
+    from patuha_etl_dlt_spark.lake.table import LakeTable as LT
+    from patuha_etl_dlt_spark.plans import count_exchanges, formatted_plan, has_partial_aggregation
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pl"), PAGES_COLUMNS, "url", "warc_ts", num_buckets=8
+    )
+    eng = CdcEngine(t, CheckpointStore(str(tmp_path / "pl_cp")))
+    rows = [
+        (i, i % 4, "U", f"u{i % 50}", dt.datetime(2026, 1, 1), b"<p>x</p>", None, "en", None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, partition_id int, op string, url string, warc_ts timestamp, "
+        "html binary, text string, lang string, schema_json string",
+    )
+    eng.apply_batch(df, batch_id="seed", offsets={p: 99 for p in range(4)}, descriptors=[])
+
+    # now offsets exist: the batch plan uses the literal-map filter
+    fresh = eng._filter_new(df)
+    delta = eng._prepare_delta(fresh, [])
+    plan = formatted_plan(delta)
+    assert count_exchanges(delta) == 1, plan  # the LWW groupBy only
+    assert has_partial_aggregation(delta), plan  # map-side combine
+    assert "BroadcastExchange" not in plan, plan  # literal map, not a join
+
+    # merge skips its in-batch reduction when the engine pre-reduced
+    calls = []
+    orig = LT._lww_reduce
+    try:
+        LT._lww_reduce = lambda self, snap, d: calls.append(1) or orig(self, snap, d)
+        eng.apply_batch(df, batch_id="b2", offsets={p: 300 for p in range(4)}, descriptors=[])
+        assert calls == []  # mor + delta_reduced: no reduce inside merge
+    finally:
+        LT._lww_reduce = orig
