@@ -187,6 +187,57 @@ WHERE rn = 1
 """
 
 
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-diff CDC gate — the mode that propagates upstream DELETEs,
+    which cursor CDC can never see (reference limitation README.MD:395).
+    The "upstream table" at time T is the LWW state of events with
+    event_id ≤ T, where a user whose winner is an 'error' event has been
+    deleted upstream. Two pull cycles (T = half the id space, then all of
+    it) diff each full snapshot against the lake and MERGE only the
+    derived I/U/D events; the final state must equal the T=∞ snapshot —
+    including rows DELETED between the snapshots."""
+    from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
+    from patuha_etl_dlt_spark.config import TableConfig
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    cut = ev.agg(F.max("event_id")).first()[0] // 2
+    phase = {"n": 1}
+
+    def upstream_snapshot(spark_, last):
+        e = ev if phase["n"] == 2 else ev.filter(F.col("event_id") <= cut)
+        win = lww_agg(e, ["user_id"], ["event_id"])
+        return win.filter(F.col("event_type") != "error")
+
+    cfg = TableConfig(
+        table="sd", merge_key=("user_id",), cursor="", mode="snapshot_diff",
+        columns=(("user_id", "long"), ("event_id", "long"),
+                 ("event_type", "string"), ("value", "double")),
+        num_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="entry_sd_")
+    orch = SyncOrchestrator(spark, root, [cfg], sources={"sd": upstream_snapshot})
+    (r1,) = orch.pull_cycle("t1")
+    assert r1.status == "perfect" and r1.metrics["changes"] > 0, r1.metrics
+    phase["n"] = 2
+    (r2,) = orch.pull_cycle("t2")
+    assert r2.status == "perfect" and r2.metrics["changes"] > 0, r2.metrics
+    t = orch.engine("sd").table
+    return t.read().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_SNAPDIFF_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def cdc_incremental_scan(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -861,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": cdc_lww_salted,
         "cdc_apply_deletes_lake": cdc_apply_deletes_lake,
         "cdc_pull_cycle": cdc_pull_cycle,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_incremental_scan": cdc_incremental_scan,
         "cdc_watermark": cdc_watermark,
         "cdc_new_records_count": cdc_new_records_count,
@@ -925,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _LWW_ORACLE,
         "cdc_apply_deletes_lake": _APPLY_ORACLE,
         "cdc_pull_cycle": _PULL_ORACLE,
+        "cdc_snapshot_diff": _SNAPDIFF_ORACLE,
         "cdc_incremental_scan": f"""
             SELECT event_type, count(*) AS n,
                    round(sum(CAST(value AS DECIMAL(18,6))), 4)::DOUBLE AS total_value

@@ -59,6 +59,7 @@ QUERY_SUITE = [
     "cdc_lww_salted",
     "cdc_apply_deletes_lake",
     "cdc_pull_cycle",
+    "cdc_snapshot_diff",
     "cdc_incremental_scan",
     "events_hourly_rollup",
     "tpch_q1",
@@ -402,8 +403,15 @@ def main() -> None:
             generate_events_distributed(
                 spark, sc_events, N_URLS, parallelism=128, body_paragraphs=sc_paras
             ).write.parquet(os.path.join(shared, "feed"))
-            generate_events_distributed(
-                spark, 1_500_000, 150_000, parallelism=256
+            # the extraction probe reads the SAME pages the pipeline
+            # applies (the scaling feed), so kernel efficiency and
+            # pipeline efficiency decompose over identical bytes — a
+            # 1.5 KB-page probe against an 8.5 KB-page pipeline answered a
+            # different question
+            # one timed batch's worth of pages (lsn filter keeps the
+            # partition distribution a limit() would destroy)
+            spark.read.parquet(os.path.join(shared, "feed")).filter(
+                f"lsn < {min(300_000, sc_events)}"
             ).select("html").write.parquet(os.path.join(shared, "probe"))
             generate_events_distributed(
                 spark, 1_000_000, 150_000, parallelism=128

@@ -231,6 +231,51 @@ class SyncOrchestrator:
                 m["source_query"] = desc
                 return SyncResult(name, bid, "skipped" if m.get("skipped") else "perfect", m)
 
+            if cfg.mode == "snapshot_diff":
+                # full pull, but MERGE only the derived I/U/D changes —
+                # the mode that propagates upstream DELETEs (a cursor can
+                # never see them) at O(changes) write cost vs the full
+                # refresh's O(target) rewrite. See cdc.snapshot_diff.
+                from patuha_etl_dlt_spark.cdc.snapshot_diff import diff_snapshots
+
+                def one_diff() -> dict:
+                    df, desc = self._build_scan(name, None)
+                    ops = evolution.evolve_from_source(eng.table, df.schema)
+                    snap_v = eng.table.snapshot.version
+                    delta = diff_snapshots(
+                        df, eng.table.read(), list(cfg.merge_key), op_col=eng.cfg.op_col
+                    ).withColumn("_event_id", F.lit(snap_v + 1).cast("long"))
+                    obs = Observation()
+                    opc = F.upper(F.col(eng.cfg.op_col))
+                    delta = delta.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("changes"),
+                        F.sum((opc == "D").cast("long")).alias("delete_events"),
+                        F.sum((opc == "I").cast("long")).alias("insert_events"),
+                    )
+                    m = eng.table.merge(
+                        delta, batch_id=bid, op_col=eng.cfg.op_col, mode=eng.cfg.merge_mode
+                    )
+                    if m.get("skipped"):
+                        if not eng.cp.has_batch(bid):
+                            eng.cp.commit(bid, {}, {"skipped_merge": True})
+                        return {**m, "source_query": desc}
+                    got = obs.get
+                    m.update(
+                        changes=int(got["changes"] or 0),
+                        delete_events=int(got["delete_events"] or 0),
+                        insert_events=int(got["insert_events"] or 0),
+                        source_query=desc,
+                        evolution_ops=[
+                            {"kind": o.kind, "name": o.name, "typ": o.typ} for o in ops
+                        ],
+                    )
+                    eng.cp.commit(bid, {}, m)
+                    return m
+
+                m = with_retry(one_diff, self.retry_policy)
+                return SyncResult(name, bid, "skipped" if m.get("skipped") else "perfect", m)
+
             def one_pull() -> dict:
                 last = eng.cp.cursor()
                 if last is None:

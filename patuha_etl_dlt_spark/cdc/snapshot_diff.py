@@ -1,0 +1,75 @@
+"""Snapshot-diff CDC: derive I/U/D change events from two full snapshots.
+
+The reference's cursor pull fundamentally cannot see upstream DELETEs —
+a deleted row never bumps the ``modifier`` column, so it lingers in the
+target forever (a limitation its README documents and works around with
+full refreshes, ``/root/reference/README.MD:395``,
+``pipeline_management.py:1225-1506``). The classic fix (Debezium's
+snapshot mode, dlt's ``merge`` from a full extract) is to pull the full
+table periodically and DIFF it against the target:
+
+- key only in the new snapshot            → ``I``
+- key in both, any payload column differs → ``U``
+- key only in the old snapshot            → ``D``
+- key in both, payload identical          → no event (dropped)
+
+Spark shape: ONE full-outer join on the merge keys (single shuffle; AQE
+skew-join covers hot keys) with a null-safe struct comparison — no
+window, no per-row Python, output bounded by the number of CHANGED rows.
+At 10^10-row scale this is the O(|new| + |old|) scan it has to be, but
+the downstream MERGE then pays only O(changes) — vs the reference's full
+refresh which rewrites the entire target every cycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def diff_snapshots(
+    new: DataFrame,
+    old: DataFrame,
+    key_cols: list[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change events turning ``old`` into ``new``: columns = ``new``'s
+    columns plus ``op_col`` ('I' | 'U' | 'D'). Unchanged keys emit
+    nothing. Payload comparison covers ``new``'s non-key columns; a
+    column ``old`` lacks (source schema grew) compares against NULL, so
+    rows that gained a value surface as updates. Delete events carry the
+    OLD payload (useful for audit sinks); the merge only needs their
+    keys. Both inputs must be key-unique (full snapshots)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in new.columns if c not in key_cols]
+    types = dict(new.dtypes)
+    old_aligned = old.select(
+        *key_cols,
+        *[
+            (F.col(c) if c in old.columns else F.lit(None).cast(types[c])).alias(c)
+            for c in payload
+        ],
+    )
+    nw = new.select(
+        *key_cols, F.struct(*payload).alias("_new"), F.lit(True).alias("_in_new")
+    )
+    od = old_aligned.select(
+        *key_cols, F.struct(*payload).alias("_old"), F.lit(True).alias("_in_old")
+    )
+    j = nw.join(od, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_in_new").isNotNull() & F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull() & F.col("_in_old").isNotNull(), F.lit("D"))
+        # null-safe struct inequality: NULL payload fields compare equal
+        .when(~F.col("_new").eqNullSafe(F.col("_old")), F.lit("U"))
+    )
+    side = F.coalesce(F.col("_new"), F.col("_old"))
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *key_cols,
+            *[side.getField(c).alias(c) for c in payload],
+            op_col,
+        )
+    )

@@ -19,13 +19,20 @@ class TableConfig:
     table: str
     merge_key: tuple[str, ...]  # composite keys supported
     cursor: str  # event-time/modifier column (LWW order); '' in snapshot mode
-    mode: str = "cdc"  # 'cdc' (incremental merge) | 'snapshot' (full refresh)
+    # 'cdc': incremental merge by cursor. 'snapshot': full refresh
+    # (target := source, O(metadata) replace). 'snapshot_diff': pull the
+    # full source and MERGE only the derived I/U/D changes — the mode that
+    # propagates upstream DELETEs, which a cursor can never see
+    # (reference limitation: README.MD:395 — deleted rows linger forever).
+    mode: str = "cdc"
     num_buckets: int = 64
     columns: tuple[tuple[str, str], ...] = ()  # (name, type) for creation
 
     def __post_init__(self):
-        if self.mode not in ("cdc", "snapshot"):
-            raise ValueError(f"{self.table}: mode must be 'cdc' or 'snapshot', got {self.mode!r}")
+        if self.mode not in ("cdc", "snapshot", "snapshot_diff"):
+            raise ValueError(
+                f"{self.table}: mode must be 'cdc', 'snapshot' or 'snapshot_diff', got {self.mode!r}"
+            )
         if not self.merge_key:
             raise ValueError(f"{self.table}: merge_key must not be empty")
         # a missing modifier/cursor selects full-refresh mode in the reference

@@ -269,3 +269,73 @@ def test_run_pull_loop_resumes_numbering_and_heals(spark, tmp_path):
     assert rounds2[1][0].metrics["rows_pulled"] == 1  # cycle-2: the new row
     assert orch2.engine("t1").table.read().count() == 7
     assert orch2.engine("s1").table.read().count() == 7
+
+
+def test_diff_snapshots_unit(spark):
+    """I/U/D derivation with null-safe payload comparison and a column
+    the old snapshot lacks (source schema grew)."""
+    from patuha_etl_dlt_spark.cdc.snapshot_diff import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (3, "c", 7), (4, None, 9)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None, None), (2, "B", 5, None), (4, None, 9, 1), (5, "e", 0, None)],
+        "k long, s string, v int, extra int",
+    )
+    got = {r["k"]: (r["op"], r["s"], r["v"], r["extra"]) for r in
+           diff_snapshots(new, old.drop("extra") if "extra" in old.columns else old, "k").collect()}
+    # k=1 unchanged (None == None null-safely, extra None vs missing→None)
+    assert 1 not in got
+    assert got[2] == ("U", "B", 5, None)     # payload changed
+    assert got[4] == ("U", None, 9, 1)       # gained a value in the new column
+    assert got[5] == ("I", "e", 0, None)     # new key
+    assert got[3][0] == "D" and got[3][1] == "c"  # deleted key keeps old payload
+    assert len(got) == 4
+
+
+def test_pull_cycle_snapshot_diff_propagates_deletes(spark, tmp_path):
+    """snapshot_diff mode: full pull, merge only derived changes; an
+    upstream DELETE lands as a tombstone (the thing cursor CDC can't do),
+    a resurrected key comes back, replay is exactly-once."""
+    state = {"rows": [(i, f"n{i}", i * 10) for i in range(8)]}
+
+    def source(spark_, last):
+        return spark_.createDataFrame(state["rows"], "k long, n string, v long")
+
+    cfg = TableConfig(
+        table="sd", merge_key=("k",), cursor="", mode="snapshot_diff",
+        columns=(("k", "long"), ("n", "string"), ("v", "long")), num_buckets=4,
+    )
+    orch = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"sd": source})
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.metrics["changes"] == 8 and r1.metrics["insert_events"] == 8
+    t = orch.engine("sd").table
+    assert t.read().count() == 8
+
+    # upstream: delete k=3, update k=5, insert k=8
+    state["rows"] = [(i, f"n{i}" if i != 5 else "CHANGED", i * 10)
+                     for i in range(8) if i != 3] + [(8, "n8", 80)]
+    (r2,) = orch.pull_cycle("c2")
+    assert r2.metrics["changes"] == 3
+    assert r2.metrics["delete_events"] == 1 and r2.metrics["insert_events"] == 1
+    rows = {r["k"]: r["n"] for r in t.read().collect()}
+    assert 3 not in rows and rows[5] == "CHANGED" and rows[8] == "n8" and len(rows) == 8
+    # the delete is a real tombstone (blocks stale resurrection)
+    assert t.read(include_deleted=True, include_system=True).filter("_deleted").count() == 1
+
+    # no upstream change → zero events, zero writes of consequence
+    (r3,) = orch.pull_cycle("c3")
+    assert r3.metrics["changes"] == 0
+
+    # resurrect k=3 upstream → I event wins over the tombstone
+    state["rows"] = state["rows"] + [(3, "back", 30)]
+    (r4,) = orch.pull_cycle("c4")
+    assert r4.metrics["insert_events"] == 1
+    assert {r["k"]: r["n"] for r in t.read().collect()}[3] == "back"
+
+    # replay a committed cycle id: exactly-once end-to-end
+    (r2b,) = orch.pull_cycle("c2")
+    assert r2b.status == "skipped"
+    assert t.read().count() == 9
