@@ -71,3 +71,59 @@ def test_any_batching_and_order_converges(spark, tmp_path_factory, events, data)
 
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == py_oracle(events)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-diff property: for ANY pair of key-unique snapshots, applying
+# diff_snapshots(new, old) to a lake holding `old` yields EXACTLY `new`
+# (deletes propagate, unchanged keys emit nothing), and a second diff
+# after convergence is empty.
+# ---------------------------------------------------------------------------
+
+def snapshots():
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),  # key
+        st.one_of(st.none(), st.integers(0, 3)),     # nullable payload
+    )
+    return st.lists(row, max_size=6, unique_by=lambda r: r[0])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(old=snapshots(), new=snapshots())
+def test_snapshot_diff_converges_to_new(spark, tmp_path_factory, old, new):
+    from pyspark.sql import functions as F
+
+    from patuha_etl_dlt_spark.cdc.snapshot_diff import diff_snapshots
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v int") if rows else (
+            spark.createDataFrame([], "k string, v int")
+        )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("sd") / "t"),
+        [("k", "string"), ("v", "int")],
+        key_cols="k",
+        order_col=None,  # LWW by _event_id (fold sequence), like snapshot_diff mode
+        num_buckets=4,
+    )
+    if old:
+        t.merge(df(old).withColumn("_event_id", F.lit(1).cast("long")), batch_id="seed")
+    delta = diff_snapshots(df(new), t.read(), "k").withColumn(
+        "_event_id", F.lit(2).cast("long")
+    )
+    n_changes = delta.count()
+    t.merge(delta, batch_id="diff")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == dict(new)
+    # emitted exactly the changed keys, nothing more
+    om, nm = dict(old), dict(new)
+    expected = {k for k in om.keys() | nm.keys() if (k in om) != (k in nm) or om.get(k) != nm.get(k)}
+    assert n_changes == len(expected)
+    # convergence: a second diff is empty
+    assert diff_snapshots(df(new), t.read(), "k").count() == 0
