@@ -339,3 +339,44 @@ def test_pull_cycle_snapshot_diff_propagates_deletes(spark, tmp_path):
     (r2b,) = orch.pull_cycle("c2")
     assert r2b.status == "skipped"
     assert t.read().count() == 9
+
+
+def test_concurrent_pull_cycle_matches_sequential(spark, tmp_path):
+    """pull_cycle with max_concurrency>1 (driver thread pool + FAIR pools,
+    mixed cdc/snapshot_diff modes) converges to the same state as a
+    sequential orchestrator over the same sources."""
+    def mk_sources():
+        def cdc_src(spark_, last):
+            return spark_.createDataFrame(
+                [(i, i, i * 2) for i in range(30)], "k long, c long, v long"
+            ).filter(f"c > {-1 if last is None else last}")
+
+        def sd_src(spark_, last):
+            return spark_.createDataFrame(
+                [(i, f"x{i}") for i in range(20) if i != 7], "k long, s string"
+            )
+
+        return {"a": cdc_src, "b": sd_src}
+
+    cfgs = [
+        TableConfig(table="a", merge_key=("k",), cursor="c",
+                    columns=(("k", "long"), ("c", "long"), ("v", "long")), num_buckets=4),
+        TableConfig(table="b", merge_key=("k",), cursor="", mode="snapshot_diff",
+                    columns=(("k", "long"), ("s", "string")), num_buckets=8),
+    ]
+
+    def final_state(orch):
+        return {
+            name: sorted(map(tuple, orch.engine(name).table.read().collect()))
+            for name in ("a", "b")
+        }
+
+    seq = SyncOrchestrator(spark, str(tmp_path / "seq"), cfgs, sources=mk_sources())
+    con = SyncOrchestrator(
+        spark, str(tmp_path / "con"), cfgs, sources=mk_sources(), max_concurrency=2
+    )
+    for orch in (seq, con):
+        rs = orch.pull_cycle("c1")
+        assert {r.status for r in rs} == {"perfect"}
+    assert final_state(seq) == final_state(con)
+    assert con.status()["status"] == "healthy"
