@@ -625,6 +625,22 @@ class LakeTable:
             new_files = self._write_files(
                 snap, winners, distribute=False, kind="delta", layout="plain"
             )
+        elif (
+            self.spark.conf.get("spark.patuha.merge.writeWidth", "buckets") == "session"
+        ):
+            # bucketed write WITHOUT pinning the whole plan to num_buckets
+            # partitions: the upstream reduce/UDF stages run at the
+            # session's natural width and an EXPLICIT repartition places
+            # rows into their buckets just before the write. Trade: one
+            # extra shuffle of the reduced winners vs a plan whose
+            # parallelism is divorced from the executor count — the right
+            # side of the trade when cores << num_buckets (a 64-wide
+            # pandas-UDF stage on 4 cores churns ~40 python workers,
+            # measured ~2× slower batches) or cores >> num_buckets (a
+            # 64-partition plan starves a 1000-core cluster).
+            new_files = self._write_files(
+                snap, winners, distribute=True, kind="delta" if mode == "mor" else "base"
+            )
         else:
             merge_coalesce = self.spark.conf.get(
                 "spark.patuha.merge.aqeCoalesce",

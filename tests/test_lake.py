@@ -488,3 +488,33 @@ def test_read_buckets_under_global_overlay_still_prunes_base(spark, tmp_path):
     for b, path in base.items():
         if b != wanted:
             assert path not in opened  # untouched base never opened
+
+
+def test_merge_write_width_session_equivalent(spark, tmp_path):
+    """spark.patuha.merge.writeWidth=session: the batch plan runs at
+    session width with an explicit bucket repartition before the write —
+    state identical to the pinned default, still one file per bucket."""
+    rows1 = [(i, "I", f"u{i}", 1, f"A{i}") for i in range(40)]
+    rows2 = [(100 + i, "U" if i % 3 else "D", f"u{i}", 2, f"B{i}") for i in range(20)]
+    tp = LakeTable.create(
+        spark, str(tmp_path / "wp"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=8
+    )
+    ts_ = LakeTable.create(
+        spark, str(tmp_path / "ws"), PAGES, key_cols="url", order_col="warc_ts", num_buckets=8
+    )
+    tp.merge(ev(spark, rows1), batch_id="b0")
+    tp.merge(ev(spark, rows2), batch_id="b1")
+    spark.conf.set("spark.patuha.merge.writeWidth", "session")
+    try:
+        ts_.merge(ev(spark, rows1), batch_id="b0")
+        ts_.merge(ev(spark, rows2), batch_id="b1")
+    finally:
+        spark.conf.unset("spark.patuha.merge.writeWidth")
+    assert state(tp) == state(ts_)
+    # each commit wrote at most one file per bucket (commit = the
+    # per-write data dir, the second path component)
+    import os
+    from collections import Counter
+
+    counts = Counter((f.bucket, os.path.dirname(f.path)) for f in ts_.snapshot.files)
+    assert all(v == 1 for v in counts.values())
