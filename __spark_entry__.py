@@ -676,6 +676,46 @@ def media_decode(spark, sf_dir):
     )
 
 
+def media_decode_png(spark, sf_dir):
+    """REAL compressed-format decode (oracle-checked): synthesize a valid
+    zlib-compressed RGB PNG per document (dimensions and fill derived from
+    doc_id), decode it back with the stdlib PNG kernel (chunk walk +
+    inflate + scanline unfilter — no codec library), and emit the parsed
+    dimensions plus the hot histogram bin of the DECODED grayscale pixels.
+    A solid fill=v image decodes to all-v pixels, so the feature is a
+    one-hot at v % 8 — the oracle mirrors the generator arithmetic, and a
+    wrong inflate/unfilter/luma anywhere breaks the value match. n_bytes
+    is excluded (zlib output size is not arithmetic)."""
+    import pandas as pd
+
+    from patuha_etl_dlt_spark.operators.multimodal import MEDIA_SCHEMA, synth_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": [
+                        synth_png(1 + int(i) % 61, 1 + int(i) % 37, fill=int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(gen, MEDIA_SCHEMA)
+    return decode_media(media, decode_kernel="png").select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.array_position(F.col("feature"), F.lit(1.0).cast("float")).alias("feature_hot"),
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect) for the text formulas
 # --------------------------------------------------------------------------
@@ -876,6 +916,19 @@ FROM documents
 """
 
 
+# a solid fill=v RGB PNG decodes to all-v gray pixels (ITU-R 601-2 luma of
+# (v,v,v) is v), so the 8-bin histogram is a one-hot at v % 8 and
+# array_position(feature, 1.0) = (doc_id % 8) + 1 (1-based)
+_MEDIA_DECODE_PNG_SQL = """
+SELECT doc_id AS media_id,
+       (1 + doc_id % 61)::INT AS width,
+       (1 + doc_id % 37)::INT AS height,
+       1::INT AS n_frames,
+       (doc_id % 8 + 1)::BIGINT AS feature_hot
+FROM documents
+"""
+
+
 _ANN_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
@@ -953,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta": multimodal_meta,
         "media_decode": media_decode,
+        "media_decode_png": media_decode_png,
     }
 
 
@@ -1141,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(n_bits=8, dim=64, k=10),
         "dedup_embedding_near_lsh": _embedding_near_lsh_sql(n_bits=4, dim=64, threshold=0.45),
         "media_decode": _MEDIA_DECODE_SQL,
+        "media_decode_png": _MEDIA_DECODE_PNG_SQL,
         "dedup_embedding_near": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

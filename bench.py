@@ -74,6 +74,7 @@ QUERY_SUITE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "media_decode",
+    "media_decode_png",
     "cdc_parse_timestamps",
     "events_rollup_incremental",
     "url_canonical_dedup",

@@ -23,6 +23,33 @@ import time
 from patuha_etl_dlt_spark.lake.metadata import atomic_write
 
 
+def _max_cursor(prev, new):
+    """Monotone-max for pull cursors that is TYPE-STABLE: int and float
+    compare numerically (a source whose cursor round-trips int→float —
+    e.g. a DOUBLE MAX() — can never move the high-water mark backwards);
+    same-type values compare natively; any other type change is an
+    explicit error, not a silent reset (the old behavior let a replayed
+    older batch regress the cursor and re-pull a whole window)."""
+    if prev is None:
+        return new
+    if (
+        isinstance(prev, (int, float))
+        and isinstance(new, (int, float))
+        and not isinstance(prev, bool)
+        and not isinstance(new, bool)
+    ):
+        # keep the winner's own type (int stays int unless a float wins)
+        return prev if prev >= new else new
+    if type(prev) is type(new):
+        return max(prev, new)
+    raise TypeError(
+        f"cursor type changed: {type(prev).__name__}({prev!r}) -> "
+        f"{type(new).__name__}({new!r}); a type flip would bypass the "
+        "monotone guard. Migrate the cursor column explicitly (reset the "
+        "checkpoint or normalize the source cursor type)."
+    )
+
+
 class CheckpointStore:
     def __init__(self, root: str, batch_retention: int | None = None):
         """``batch_retention``: keep only the K most recent batch ids in
@@ -69,9 +96,9 @@ class CheckpointStore:
                 st["batches"] = st["batches"][-self.batch_retention :]
         st["offsets"] = {str(k): v for k, v in sorted(merged.items())}
         if cursor is not None:
-            prev = st.get("cursor")
-            # monotone: a replayed/out-of-order commit can't move it back
-            st["cursor"] = cursor if prev is None or type(prev) is not type(cursor) else max(prev, cursor)
+            # monotone: a replayed/out-of-order commit can't move it back,
+            # and a type flip can't bypass the guard (see _max_cursor)
+            st["cursor"] = _max_cursor(st.get("cursor"), cursor)
         st["committed_at"] = time.time()
         row = {"batch_id": batch_id, "ts": time.time(), **metrics}
         # metrics log first (informational), state swap last (authoritative)

@@ -72,6 +72,14 @@ class EngineConfig:
     # metadata-directory growth on long-running feeds (Iceberg
     # expire_snapshots analog). None = keep full history (time travel).
     expire_snapshots_keep: int | None = None
+    # on the compaction cadence, purge tombstones every feed partition has
+    # passed (event id < min(checkpointed offsets)) from the buckets being
+    # rewritten anyway — opportunistic, O(0) extra I/O. Replay safety: the
+    # offset filter drops any replayed event at or below that horizon, so
+    # a purged tombstone can never lose an LWW race it would have won.
+    # Without this, a 10^10-event feed with deletes accretes tombstones
+    # forever unless the operator calls compact_tombstones() by hand.
+    gc_tombstones: bool = True
     # Reduce the batch to one winner per key BEFORE text extraction: the
     # pandas UDF then (a) runs post-shuffle, so its parallelism is
     # spark.sql.shuffle.partitions instead of the input-split count — on a
@@ -318,25 +326,50 @@ class CdcEngine:
                 delete_events=int(got["delete_events"] or 0),
             )
         metrics.update(counts)
-        if self.cfg.compact_every and self.cfg.merge_mode == "mor":
-            # in-memory fold counter (seeded from the checkpoint once):
-            # re-parsing the whole state document every batch is a per-batch
-            # fixed cost that grows with history
-            if self._n_batches is None:
-                self._n_batches = self.cp.read()["n_batches_total"]
-            self._n_batches += 1
-            if self._n_batches % self.cfg.compact_every == 0:
-                metrics["compacted_buckets"] = self.table.compact_deltas()
-                if self.cfg.expire_snapshots_keep:
-                    metrics["expired_files"] = self.table.expire_snapshots(
-                        keep_last=self.cfg.expire_snapshots_keep
-                    )
+        self.maybe_compact(metrics)
         metrics["evolution_ops"] = [
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
             for o in renames
         ]
         metrics["seconds"] = round(time.time() - t0, 3)
         self.cp.commit(batch_id, new_off, metrics)
+        return metrics
+
+    def maybe_compact(self, metrics: dict | None = None) -> dict | None:
+        """Advance the compaction cadence by one committed merge and fold
+        when it fires — called by ``apply_batch`` AND by the pull paths
+        (``SyncOrchestrator._pull_one``), so a long-running ``run_pull_loop``
+        in mor mode cannot accrete one overlay file-set per cycle forever.
+
+        The in-memory counter is seeded from the checkpoint once:
+        re-parsing the whole state document every batch is a per-batch
+        fixed cost that grows with history. On the cadence it also
+        (a) purges passed tombstones from the rewrite (``gc_tombstones``;
+        horizon = min checkpointed offset — every feed partition has
+        advanced past it and the offset filter drops any replay below it)
+        and (b) expires old snapshots when configured."""
+        if not (self.cfg.compact_every and self.cfg.merge_mode == "mor"):
+            return metrics
+        if self._n_batches is None:
+            self._n_batches = self.cp.read()["n_batches_total"]
+        self._n_batches += 1
+        if self._n_batches % self.cfg.compact_every == 0:
+            horizon = None
+            if self.cfg.gc_tombstones:
+                offs = self.cp.offsets()
+                if offs:
+                    horizon = min(offs.values())
+            out = {
+                "compacted_buckets": self.table.compact_deltas(
+                    purge_tombstones_below=horizon
+                )
+            }
+            if self.cfg.expire_snapshots_keep:
+                out["expired_files"] = self.table.expire_snapshots(
+                    keep_last=self.cfg.expire_snapshots_keep
+                )
+            if metrics is not None:
+                metrics.update(out)
         return metrics
 
     def seed_snapshot(self, snapshot_df: DataFrame, batch_id: str = "seed") -> dict:

@@ -254,7 +254,16 @@ class SyncOrchestrator:
                         F.sum((opc == "I").cast("long")).alias("insert_events"),
                     )
                     m = eng.table.merge(
-                        delta, batch_id=bid, op_col=eng.cfg.op_col, mode=eng.cfg.merge_mode
+                        delta,
+                        batch_id=bid,
+                        op_col=eng.cfg.op_col,
+                        mode=eng.cfg.merge_mode,
+                        overlay=eng.cfg.overlay,
+                        # diff output is key-unique by construction (one
+                        # full-outer join on the keys of two key-unique
+                        # snapshots) — the merge can skip its in-batch
+                        # LWW reduction
+                        delta_reduced=True,
                     )
                     if m.get("skipped"):
                         if not eng.cp.has_batch(bid):
@@ -270,6 +279,13 @@ class SyncOrchestrator:
                             {"kind": o.kind, "name": o.name, "typ": o.typ} for o in ops
                         ],
                     )
+                    # same hygiene cadence as the push path (before the
+                    # checkpoint commit, like apply_batch — the counter
+                    # seeds from n_batches_total): without it a
+                    # long-running pull loop in mor mode accretes one
+                    # overlay file-set per cycle and every next diff's full
+                    # table read degrades monotonically
+                    eng.maybe_compact(m)
                     eng.cp.commit(bid, {}, m)
                     return m
 
@@ -292,7 +308,13 @@ class SyncOrchestrator:
                     F.max(F.col(cfg.cursor)).alias("cursor_max"),
                     F.count(F.lit(1)).alias("rows_pulled"),
                 )
-                m = eng.table.merge(df, batch_id=bid, op_col=eng.cfg.op_col, mode=eng.cfg.merge_mode)
+                m = eng.table.merge(
+                    df,
+                    batch_id=bid,
+                    op_col=eng.cfg.op_col,
+                    mode=eng.cfg.merge_mode,
+                    overlay=eng.cfg.overlay,
+                )
                 if m.get("skipped"):
                     # crash heal: MERGE landed in a previous attempt but the
                     # checkpoint may not have — re-commit it with the cursor
@@ -312,6 +334,11 @@ class SyncOrchestrator:
                         {"kind": o.kind, "name": o.name, "typ": o.typ} for o in ops
                     ],
                 )
+                # engine hygiene cadence (compact_deltas + snapshot expiry)
+                # applies to pull cycles too — see maybe_compact; runs
+                # before the checkpoint commit like apply_batch so the
+                # counter seed stays consistent
+                eng.maybe_compact(m)
                 # an empty pull still commits the (derived) cursor, so a
                 # cold checkpoint warms up and never re-derives again
                 eng.cp.commit(bid, {}, m, cursor=new_cursor if new_cursor is not None else last)

@@ -705,11 +705,27 @@ class LakeTable:
         self._commit(snap, kept + new_files, batch_id, {"operation": "replace_buckets", **metrics})
         return metrics
 
-    def compact_deltas(self, max_delta_files_per_bucket: int = 0) -> int:
+    def compact_deltas(
+        self,
+        max_delta_files_per_bucket: int = 0,
+        purge_tombstones_below: int | None = None,
+    ) -> int:
         """Fold merge-on-read overlays into base files: every bucket with
         more than ``max_delta_files_per_bucket`` overlay files is rewritten
         to one resolved base file (Iceberg rewrite_data_files +
-        rewrite_position_delete_files analog). Returns buckets compacted."""
+        rewrite_position_delete_files analog). Returns buckets compacted.
+
+        ``purge_tombstones_below``: additionally drop tombstone rows whose
+        event id is below this horizon from the buckets being rewritten
+        anyway — zero extra I/O vs a standalone ``compact_tombstones``
+        full rewrite. Safe once no event with a smaller LSN can be applied
+        again (the engine passes min(checkpointed offsets): the offset
+        filter drops replays at or below it, and any future event outranks
+        the purged tombstone by LSN, so LWW converges identically).
+        Tombstones in buckets this fold does not touch survive until their
+        bucket next compacts — opportunistic GC; buckets that keep
+        receiving deletes keep getting folded, which bounds growth exactly
+        where growth happens."""
         snap = self.snapshot
         if any(f.bucket == -1 for f in snap.files):
             # a global overlay overlaps every bucket: fold the whole table
@@ -727,6 +743,11 @@ class LakeTable:
             to_rewrite = [f for f in snap.files if f.bucket in targets]
             kept = [f for f in snap.files if f.bucket not in targets]
         resolved = self._resolved(snap, to_rewrite)
+        if purge_tombstones_below is not None:
+            resolved = resolved.filter(
+                (~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+                | (F.coalesce(F.col(SYS_EVENT), F.lit(-1)) >= F.lit(int(purge_tombstones_below)))
+            )
         with _pinned_shuffle_conf(self.spark, snap.num_buckets):
             files = kept + self._write_files(snap, resolved, distribute=False)
         self._commit(snap, files, None, {"operation": "compact_deltas", "buckets": len(targets)})
@@ -780,6 +801,19 @@ class LakeTable:
         )
 
     def widen_column(self, name: str, new_type: str) -> None:
+        if name in self.snapshot.key_cols:
+            # bucket placement is murmur3-hash-of-key, and murmur3(int) !=
+            # murmur3(long): widening a key column silently invalidates
+            # every recorded DataFile.bucket — bucket-pruned reads would
+            # miss rows and cow merges would leave the same key live in
+            # two buckets. Refuse; this needs an explicit migration.
+            raise ValueError(
+                f"widen_column: {name!r} is a merge-key column; the bucket "
+                "hash is type-sensitive, so widening it invalidates all "
+                "recorded bucket assignments. Run an explicit re-bucketing "
+                "migration (create a new table with the widened key and "
+                "overwrite() from read()) instead."
+            )
         self._evolve(lambda s: s.widen_column(name, new_type), f"widen_column:{name}:{new_type}")
 
     # ---------------------------------------------------------- maintenance

@@ -12,12 +12,17 @@ Python invocation per ~10k-row batch, never per row). Kernels:
 - ``decode_kernel="fake"`` (default, back-compat): a deterministic,
   pure-function-of-bytes fake decoder — real Spark plumbing with fake
   pixels, for payloads that aren't real media files.
-- ``decode_kernel="pil"`` (compressed formats — JPEG/PNG/GIF): a REAL
-  pixel decoder via Pillow, gated behind import-try; raises
-  ``NotImplementedError`` in this container (no codec libs ship here).
-- ``decode_kernel="auto"``: resolves to ``"pil"`` when PIL imports, else
-  ``"headers"`` — so a real cluster exercises the compressed path with
-  zero code changes (see the skip-marked PNG round-trip test).
+- ``decode_kernel="png"``: a REAL compressed-format pixel decoder built
+  on the stdlib alone (zlib inflate + chunk walk + scanline unfilter) for
+  non-interlaced 8-bit gray/RGB/gray+alpha/RGBA PNGs; non-PNG payloads
+  fall through to the headers kernel, unsupported PNG variants keep the
+  IHDR dimensions with byte-stat features.
+- ``decode_kernel="pil"`` (JPEG/GIF/everything): a REAL pixel decoder via
+  Pillow, gated behind import-try; raises ``NotImplementedError`` in this
+  container (no codec libs ship here).
+- ``decode_kernel="auto"``: resolves pil → png → headers, strongest real
+  decoder first — a real cluster exercises the full compressed path with
+  zero code changes.
 
 The Spark-side contract — input/output schemas, batch iterator shape,
 partition sizing — is identical across kernels; swapping in PIL/pyav on a
@@ -157,6 +162,188 @@ def _decode_headers(payload: bytes, media_type: str) -> dict:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_predict(raw: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Per-scanline PNG predictor (RFC 2083 §6): returns the prediction to
+    subtract (encode) for RECONSTRUCTED inputs ``raw``/``prev``. Used by
+    the encoder only — the decoder needs reconstructed neighbors as it
+    goes, so it unfilters incrementally (see ``_png_unfilter_row``)."""
+    n = raw.size
+    a = np.zeros(n, dtype=np.int32)
+    a[bpp:] = raw[:-bpp].astype(np.int32)
+    b = prev.astype(np.int32)
+    c = np.zeros(n, dtype=np.int32)
+    c[bpp:] = prev[:-bpp].astype(np.int32)
+    if ftype == 0:
+        return np.zeros(n, dtype=np.int32)
+    if ftype == 1:
+        return a
+    if ftype == 2:
+        return b
+    if ftype == 3:
+        return (a + b) // 2
+    # Paeth
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synth_png(
+    width: int,
+    height: int,
+    fill: int | None = None,
+    color_type: int = 2,
+    filter_type: int | str = 0,
+) -> bytes:
+    """A valid non-interlaced 8-bit PNG built with stdlib zlib + struct —
+    deterministic bytes, no codec library. ``fill`` paints a solid image
+    (value-predictable pixels for oracle gates); ``fill=None`` paints a
+    deterministic gradient. ``filter_type`` 0-4 applies that scanline
+    filter to every row; ``'mixed'`` cycles row % 5 (exercises every
+    decoder unfilter path in one file)."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if fill is not None:
+        pixels = np.full((height, width * ch), fill % 256, dtype=np.uint8)
+    else:
+        y, x = np.mgrid[0:height, 0 : width * ch]
+        pixels = ((x * 3 + y * 7 + (x % ch)) % 256).astype(np.uint8)
+    out, prev = [], np.zeros(width * ch, dtype=np.uint8)
+    for y in range(height):
+        ftype = (y % 5) if filter_type == "mixed" else int(filter_type)
+        pred = _png_predict(pixels[y], prev, ftype, ch)
+        filtered = ((pixels[y].astype(np.int32) - pred) % 256).astype(np.uint8)
+        out.append(bytes([ftype]) + filtered.tobytes())
+        prev = pixels[y]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(
+    row: np.ndarray, prev: np.ndarray, ftype: int, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes (decoder side).
+    Filters 0/2 are pure vector ops; 1 (Sub) is a per-byte-lane cumulative
+    sum mod 256; 3/4 need the current row's reconstructed left neighbor,
+    so they walk pixels (vectorized across channels per step)."""
+    n = row.size
+    if ftype == 0:
+        return row.copy()
+    if ftype == 2:
+        return row + prev  # uint8 wraps mod 256
+    if ftype == 1:
+        lanes = row.reshape(-1, bpp).astype(np.uint32)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(n)
+    recon = np.zeros(n, dtype=np.uint8)
+    pi = prev.astype(np.int32)
+    for x in range(0, n, bpp):
+        a = recon[x - bpp : x].astype(np.int32) if x else np.zeros(bpp, dtype=np.int32)
+        b = pi[x : x + bpp]
+        if ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            c = pi[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        recon[x : x + bpp] = ((row[x : x + bpp].astype(np.int32) + pred) % 256).astype(
+            np.uint8
+        )
+    return recon
+
+
+def _png_gray(pixels: np.ndarray, color_type: int) -> np.ndarray:
+    """Grayscale plane for the feature histogram — ITU-R 601-2 integer luma
+    (PIL ``convert("L")`` coefficients: (19595·R + 38470·G + 7471·B +
+    2^15) >> 16), alpha ignored, so the 'png' and 'pil' kernels agree on
+    decodable files."""
+    if color_type == 0:
+        return pixels
+    ch = _PNG_CHANNELS[color_type]
+    px = pixels.reshape(-1, ch).astype(np.uint32)
+    if color_type == 4:
+        return px[:, 0].astype(np.uint8)
+    return ((19595 * px[:, 0] + 38470 * px[:, 1] + 7471 * px[:, 2] + 0x8000) >> 16).astype(
+        np.uint8
+    )
+
+
+def _png_decode(payload: bytes, media_type: str) -> dict:
+    """REAL stdlib PNG decoder (zlib inflate + chunk walk + per-scanline
+    unfilter) for non-interlaced 8-bit gray / RGB / gray+alpha / RGBA —
+    the one compressed format this container can decode and oracle with
+    no codec dependency. Degrades, never raises: non-PNG magic falls
+    through to the headers kernel (so ``'png'`` serves a mixed media
+    column), and unsupported PNG variants (16-bit, palette, interlaced)
+    or malformed streams keep the IHDR dimensions with byte-stat
+    features."""
+    import zlib
+
+    if payload is None:
+        return {"n_bytes": 0, "width": 0, "height": 0, "n_frames": 0, "feature": [0.0] * 8}
+    raw = bytes(payload)
+    if raw[:8] != _PNG_SIG:
+        return _decode_headers(payload, media_type)
+    b = np.frombuffer(raw, dtype=np.uint8)
+    out = {"n_bytes": int(b.size), "width": 0, "height": 0, "n_frames": 0,
+           "feature": _byte_histogram_feature(b)}
+    try:
+        i, n = 8, len(raw)
+        width = height = depth = ctype = interlace = None
+        idat: list[bytes] = []
+        while i + 8 <= n:
+            clen, cid = struct.unpack_from(">I", raw, i)[0], raw[i + 4 : i + 8]
+            data = raw[i + 8 : i + 8 + clen]
+            if cid == b"IHDR":
+                width, height, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                out.update(width=int(width), height=int(height), n_frames=1)
+            elif cid == b"IDAT":
+                idat.append(data)
+            elif cid == b"IEND":
+                break
+            i += 12 + clen  # len + type + data + crc
+        ch = _PNG_CHANNELS.get(ctype)
+        if width is None or ch is None or depth != 8 or interlace != 0 or not idat:
+            return out  # header-only decode; feature stays byte stats
+        stream = zlib.decompress(b"".join(idat))
+        stride = width * ch
+        if len(stream) != height * (1 + stride):
+            return out
+        recon = np.zeros((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            off = y * (1 + stride)
+            row = np.frombuffer(stream, np.uint8, stride, offset=off + 1)
+            prev = _png_unfilter_row(row, prev, stream[off], ch)
+            recon[y] = prev
+        out["feature"] = _byte_histogram_feature(_png_gray(recon.ravel(), ctype))
+    except (struct.error, zlib.error, IndexError, ValueError):
+        pass  # malformed: keep whatever parsed
+    return out
+
+
 def _pil_decode(payload: bytes, media_type: str) -> dict:
     """Compressed-codec kernel (JPEG/PNG/GIF/...): REAL pixel decode via
     PIL. Env-gated: raises ``NotImplementedError`` when PIL is not
@@ -197,8 +384,11 @@ def _pil_decode(payload: bytes, media_type: str) -> dict:
 
 def resolve_decode_kernel(name: str = "auto") -> str:
     """``'auto'`` → ``'pil'`` when PIL imports (a real cluster with codec
-    libs), else ``'headers'`` (the real codec-free decoder this container
-    can run). Explicit kernel names pass through unchanged."""
+    libs), else ``'png'`` — the stdlib PNG decoder, which itself falls
+    through to the headers kernel for non-PNG payloads, so auto always
+    resolves to the strongest REAL decoder the environment can run
+    (preference order pil → png → headers). Explicit kernel names pass
+    through unchanged."""
     if name != "auto":
         return name
     try:
@@ -206,7 +396,7 @@ def resolve_decode_kernel(name: str = "auto") -> str:
 
         return "pil"
     except ImportError:
-        return "headers"
+        return "png"
 
 
 def decode_media(
@@ -222,8 +412,14 @@ def decode_media(
     ``spark.sql.execution.arrow.maxRecordsPerBatch``. Kernels: 'fake',
     'headers', 'pil' (compressed codecs, import-gated), or 'auto' (picks
     'pil' when available, else 'headers')."""
-    kernels = {"fake": _fake_decode, "headers": _decode_headers, "pil": _pil_decode}
-    kernel = kernels[resolve_decode_kernel(decode_kernel)]
+    kernels = {"fake": _fake_decode, "headers": _decode_headers, "png": _png_decode, "pil": _pil_decode}
+    resolved = resolve_decode_kernel(decode_kernel)
+    if resolved not in kernels:
+        raise ValueError(
+            f"unknown decode kernel {decode_kernel!r} (resolved to {resolved!r}); "
+            f"supported: {sorted(kernels)} or 'auto'"
+        )
+    kernel = kernels[resolved]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -237,9 +237,58 @@ def test_decode_media_pil_png_roundtrip(spark):
 def test_decode_kernel_auto_resolves_in_this_container():
     from patuha_etl_dlt_spark.operators.multimodal import resolve_decode_kernel
 
-    want = "pil" if _has_pil() else "headers"
+    want = "pil" if _has_pil() else "png"
     assert resolve_decode_kernel("auto") == want
     assert resolve_decode_kernel("fake") == "fake"  # explicit passes through
+
+
+def test_decode_media_unknown_kernel_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"x")], "media_id long, media_type string, payload binary"
+    )
+    with pytest.raises(ValueError, match="decode kernel"):
+        decode_media(df, decode_kernel="av")
+
+
+def test_decode_media_stdlib_png_roundtrip(spark):
+    """The compressed-format path is REAL in this container: the stdlib PNG
+    kernel (zlib inflate + scanline unfilter) round-trips PNGs written
+    with every scanline filter and color type, a non-PNG payload falls
+    through to the headers decoder, and unsupported variants keep IHDR
+    dimensions. (Formerly skip-marked pending a codec lib — the 'png'
+    kernel removed the dependency.)"""
+    import numpy as np
+
+    from patuha_etl_dlt_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _byte_histogram_feature,
+        _png_gray,
+        synth_bmp,
+        synth_png,
+    )
+
+    rows = [
+        (ct * 10 + fi, "image", synth_png(29, 17, color_type=ct, filter_type=ft))
+        for ct in (0, 2, 4, 6)
+        for fi, ft in enumerate((0, 1, 2, 3, 4, "mixed"))
+    ]
+    rows.append((900, "image", synth_png(9, 5, fill=42)))  # solid: one-hot feature
+    rows.append((901, "image", synth_bmp(12, 7)))  # non-PNG: headers fallthrough
+    rows.append((902, "image", None))
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_media(df, decode_kernel="png").collect()}
+    for ct in (0, 2, 4, 6):
+        ch = _PNG_CHANNELS[ct]
+        y, x = np.mgrid[0:17, 0 : 29 * ch]
+        pixels = ((x * 3 + y * 7 + (x % ch)) % 256).astype(np.uint8)
+        want_feat = _byte_histogram_feature(_png_gray(pixels.ravel(), ct))
+        for fi in range(6):
+            g = got[ct * 10 + fi]
+            assert (g["width"], g["height"], g["n_frames"]) == (29, 17, 1)
+            assert np.allclose(g["feature"], want_feat, atol=1e-6), (ct, fi)
+    assert got[900]["feature"][42 % 8] == 1.0
+    assert (got[901]["width"], got[901]["height"]) == (12, 7)
+    assert got[902]["n_bytes"] == 0
 
 
 def test_ngram_jaccard_prefix_filter_is_exact(docs_df):

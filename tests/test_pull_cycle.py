@@ -380,3 +380,80 @@ def test_concurrent_pull_cycle_matches_sequential(spark, tmp_path):
         assert {r.status for r in rs} == {"perfect"}
     assert final_state(seq) == final_state(con)
     assert con.status()["status"] == "healthy"
+
+
+def test_pull_loop_overlay_passthrough_and_compaction_cadence(spark, tmp_path):
+    """ADVICE r4: pull cycles must honor EngineConfig.overlay AND advance
+    the engine's compaction cadence — without it a long-running
+    run_pull_loop in mor mode accretes one overlay file-set per cycle
+    forever. Global-overlay pulls write bucket==-1 files; every
+    compact_every cycles the fold restores the bucketed layout, so the
+    file count stays bounded over many cycles."""
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
+
+    feed = {"n": 4}
+
+    def source(spark_, last):
+        rows = [(i, i, f"n{i}") for i in range(feed["n"])]
+        return spark_.createDataFrame(rows, "k long, c long, n string").filter(
+            f"c > {-1 if last is None else last}"
+        )
+
+    cfg = TableConfig(
+        table="pc", merge_key=("k",), cursor="c",
+        columns=(("k", "long"), ("c", "long"), ("n", "string")), num_buckets=8,
+    )
+    orch = SyncOrchestrator(
+        spark, str(tmp_path / "sync"), [cfg], sources={"pc": source},
+        engine_config=EngineConfig(overlay="global", compact_every=3),
+    )
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.status == "perfect"
+    t = orch.engine("pc").table
+    # overlay honored: the pull merge wrote global (bucket==-1) files
+    assert {f.bucket for f in t.snapshot.files if f.kind == "delta"} == {-1}
+
+    file_counts = []
+    for i in range(2, 14):
+        feed["n"] += 2
+        orch.pull_cycle(f"c{i}")
+        file_counts.append(len(t.snapshot.files))
+    # cadence fired (compacted state = bucketed files only, one per bucket)
+    # and the count never trends upward cycle-over-cycle beyond one
+    # cadence period's worth of overlays
+    assert min(file_counts[2:]) <= t.snapshot.num_buckets
+    assert max(file_counts) <= t.snapshot.num_buckets + 3 * 2 + 2
+    rows = {r["k"]: r["n"] for r in t.read().collect()}
+    assert len(rows) == feed["n"] and rows[0] == "n0"
+
+
+def test_snapshot_diff_pull_respects_overlay_and_compacts(spark, tmp_path):
+    """The snapshot_diff pull path passes overlay + delta_reduced through
+    and rides the same compaction cadence (its per-cycle full table read
+    degrades monotonically if overlays accrete)."""
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
+
+    state = {"rows": {i: f"v{i}" for i in range(6)}}
+
+    def source(spark_, last):
+        return spark_.createDataFrame(
+            [(k, v) for k, v in state["rows"].items()], "k long, v string"
+        )
+
+    cfg = TableConfig(
+        table="sd", merge_key=("k",), cursor="", mode="snapshot_diff",
+        columns=(("k", "long"), ("v", "string")), num_buckets=8,
+    )
+    orch = SyncOrchestrator(
+        spark, str(tmp_path / "sync"), [cfg], sources={"sd": source},
+        engine_config=EngineConfig(overlay="global", compact_every=2, extract_text=False),
+    )
+    orch.pull_cycle("c1")
+    t = orch.engine("sd").table
+    assert {f.bucket for f in t.snapshot.files if f.kind == "delta"} == {-1}
+    state["rows"][6] = "v6"
+    del state["rows"][0]  # upstream DELETE propagates via the diff
+    orch.pull_cycle("c2")  # cadence fires here (compact_every=2)
+    assert all(f.bucket >= 0 for f in t.snapshot.files)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == state["rows"]
