@@ -18,15 +18,19 @@ see main()) and the JSON carries throughput at both plus efficiency =
 eps_4N / (4 · eps_N), computed from best-batch capability (the sandbox VM
 has multi-minute co-tenant noise windows; median also reported).
 
-Artifact durability (round-3 lesson: the driver killed the bench
-mid-scaling and the single end-of-run print lost EVERYTHING): the
-headline JSON line — metric/value/queries/cdc_apply — is printed and
-flushed BEFORE any scaling child spawns; the scaling phase then runs
-under a wall-clock budget (``BENCH_TIME_BUDGET_S``, default 1500 s from
-process start) and a second, enriched JSON line (same fields +
-``scaling``) is printed when it lands. A consumer that takes the LAST
-parseable JSON line gets the richest record available at whatever moment
-the run is cut off.
+Artifact contract (round-4 lesson: printing TWO JSON lines — early
+headline + enriched final — broke the driver's whole-stdout parse and
+recorded ``parsed: null`` despite rc 0): stdout carries EXACTLY ONE JSON
+line, the final merged record, emitted with ``allow_nan=False`` after a
+finiteness sweep so it can never be silently invalid. Crash insurance
+(round-3 lesson: a mid-scaling kill lost everything) moves to a SIDECAR
+file — the headline record is written and fsynced to
+``BENCH_headline.json`` next to this script BEFORE any scaling child
+spawns, and the scaling phase runs under a wall-clock budget
+(``BENCH_TIME_BUDGET_S``, default 1500 s from process start). If the
+process is cut off, the sidecar still holds the headline; if it
+finishes, stdout holds the headline verbatim plus ``scaling`` and
+``suite_seconds``.
 
 Usage:  python bench.py            # full run + scaling subprocesses
         python bench.py --cdc-only --cpus 8   # scaling child
@@ -83,6 +87,32 @@ QUERY_SUITE = [
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _finite(obj):
+    """Deep-replace non-finite floats with None so the one stdout JSON
+    line can be dumped with allow_nan=False and never comes out invalid."""
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    if isinstance(obj, float) and not (obj == obj and abs(obj) != float("inf")):
+        return None
+    return obj
+
+
+def emit_json(record: dict, path: str | None = None) -> str:
+    """Serialize ``record`` safely; write to ``path`` (fsynced) when given,
+    else print as THE single stdout JSON line."""
+    line = json.dumps(_finite(record), allow_nan=False)
+    if path is None:
+        print(line, flush=True)
+    else:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    return line
 
 
 def _workdir() -> str:
@@ -149,8 +179,14 @@ def run_cdc_bench(
         # read-optimized layout (the engine's own default). Recorded in
         # the JSON; compaction cost is measured separately below.
         overlay = os.environ.get("BENCH_OVERLAY", "global")
+        # BENCH_LWW: pre-reduce strategy ('auto' default — resolves by
+        # Catalyst row-width stats; 8.5 KB pages land on 'shuffle', and
+        # ~17 KB+ pages on 'broadcast' where the payload-shuffle plan
+        # collapses; see EngineConfig.lww_strategy)
         eng = CdcEngine(
-            table, CheckpointStore(os.path.join(work, "cp")), EngineConfig(overlay=overlay)
+            table,
+            CheckpointStore(os.path.join(work, "cp")),
+            EngineConfig(overlay=overlay, lww_strategy=os.environ.get("BENCH_LWW", "auto")),
         )
         feed = spark.read.parquet(feed_dir)
         step = n_events // (n_batches + n_warmup)
@@ -171,6 +207,7 @@ def run_cdc_bench(
                 batch_id=f"bench-{i}",
                 offsets={p: hi - 1 for p in range(32)},
                 descriptors=[],
+                approx_rows=hi - lo,  # the consumer knows its poll size
             )
             per_batch.append(round(time.time() - t0, 3))
         # one full overlay fold AFTER the timed window, reported separately:
@@ -373,24 +410,29 @@ def main() -> None:
             if not args.skip_probes:
                 out["extract_probe"] = run_extract_scaling_probe(spark, html_dir=args.probe_dir)
                 out["shuffle_control"] = run_shuffle_control(spark, feed_dir=args.control_dir)
-            print(json.dumps(out))
+            # child stdout is parsed by the parent, not the driver — but the
+            # same one-safe-line discipline applies
+            emit_json(out)
             return
         queries = run_query_suite(spark, SF_DIR)
 
-        # the headline record lands NOW — before the scaling phase can
-        # outrun any external budget and take the whole artifact with it
+        # the headline record lands NOW — in the SIDECAR file (never
+        # stdout: the driver parses stdout as one JSON document, and a
+        # second line breaks it) — before the scaling phase can outrun
+        # any external budget and take the whole artifact with it
         headline = {
             "metric": "cdc_apply_plus_query_suite_seconds",
             "value": round(cdc["apply_seconds"] + sum(queries.values()), 3),
             "unit": "sec",
             "queries": queries,
+            "suite_seconds": round(sum(queries.values()), 3),
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
             "cpus": args.cpus,
             "cdc_apply": cdc,
             "cdc_events_per_sec": cdc["events_per_sec"],
             "scaling": {},
         }
-        print(json.dumps(headline), flush=True)
+        emit_json(headline, path=os.path.join(REPO, "BENCH_headline.json"))
 
         if not args.no_scaling and remaining() > 180:
             # generate the scaling datasets ONCE at full parallelism and
@@ -623,9 +665,9 @@ def main() -> None:
             scaling["elapsed_s"] = round(time.time() - t_start, 1)
             shutil.rmtree(shared, ignore_errors=True)
 
-    # the enriched final record: identical to the flushed headline plus the
-    # scaling block — a consumer reading the LAST JSON line prefers this
-    print(json.dumps({**headline, "scaling": scaling}), flush=True)
+    # THE one stdout JSON line: the sidecar'd headline plus the scaling
+    # block (finiteness-swept, allow_nan=False — see emit_json)
+    emit_json({**headline, "scaling": scaling})
 
 
 if __name__ == "__main__":

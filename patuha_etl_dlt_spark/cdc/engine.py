@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from patuha_etl_dlt_spark.cdc import evolution
 from patuha_etl_dlt_spark.cdc.checkpoint import CheckpointStore
-from patuha_etl_dlt_spark.cdc.dedup import lww_agg
+from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_semijoin
 from patuha_etl_dlt_spark.functions.html import with_extracted_text
 from patuha_etl_dlt_spark.functions.sanitize import sanitize_columns
 from patuha_etl_dlt_spark.lake.table import SYS_EVENT, LakeTable
@@ -88,6 +88,39 @@ class EngineConfig:
     # ratio D, a D× saving). Extraction is a pure function of html, so
     # winner-then-extract ≡ extract-then-winner.
     pre_reduce: bool = True
+    # HOW the pre-reduce moves data. 'shuffle' = lww_agg (one wide
+    # exchange of the full payload — also what bucket-aligns the rows, so
+    # it does double duty for bucketed overlay writes). 'broadcast' =
+    # lww_semijoin: winner coordinates from a column-pruned scan,
+    # broadcast LEFT SEMI back — the KB-size html/text payload never
+    # enters a shuffle OR an aggregation buffer. Only sound when the
+    # write needs no bucket alignment (mor + global overlay) and the
+    # winner set fits a broadcast.
+    #
+    # Which is faster is payload-width-dependent (interleaved A/B,
+    # 300k-event batches, BASELINE.md round 5): at ~8.5 KB pages the
+    # shuffle plan wins at high core counts (its post-shuffle AQE-packed
+    # partitions feed the extraction UDF better) and the exchange is
+    # cheap; at ~17 KB pages the shuffle plan's max_by buffers the full
+    # struct per key and collapses (19-75 s vs broadcast's stable 12.5 s
+    # at 16 cores). 'auto' therefore picks broadcast when the batch is
+    # eligible AND (a) the row count — known up front on the discovery
+    # path, via ``approx_rows``, or estimated from the previous batch
+    # with a 2x margin — stays within lww_broadcast_max_keys, and (b)
+    # Catalyst's estimated bytes/row is at or above
+    # lww_broadcast_row_bytes (heavy payloads). Anything unknown falls
+    # back to the always-safe shuffle plan.
+    lww_strategy: str = "auto"
+    # broadcast-path cap: winner rows ≤ this (~100 MB driver/executor
+    # footprint at web-page key sizes). A backlog catch-up batch beyond it
+    # auto-falls back to the shuffle plan.
+    lww_broadcast_max_keys: int = 1_000_000
+    # 'auto' payload-width gate, in Catalyst-estimated (on-disk) bytes per
+    # row: the measured shuffle-vs-broadcast crossover sits between the
+    # ~2.6 KB/row estimate of 8.5 KB pages (shuffle wins) and the
+    # ~3.9 KB/row of 17 KB pages (broadcast wins decisively). 0 = ignore
+    # width, decide on rows alone.
+    lww_broadcast_row_bytes: int = 3_000
     # columns never sanitized: merge keys (null keys are dropped with a
     # metric, not coerced) and extracted text (byte-identity contract)
     sanitize_exclude: tuple[str, ...] = ()
@@ -106,6 +139,10 @@ class CdcEngine:
         self.cp = checkpoints
         self.cfg = config or EngineConfig()
         self._n_batches: int | None = None  # compaction cadence counter
+        # last batch's observed event count — the 'auto' LWW strategy's
+        # fallback size estimate when the source doesn't know its own
+        # poll size (steady-state feeds have stable batch shapes)
+        self._last_events_applied: int | None = None
 
     # ------------------------------------------------------------ plumbing
 
@@ -219,7 +256,40 @@ class CdcEngine:
             shutil.rmtree(bdir, ignore_errors=True)
         return clean, n_bad
 
-    def _prepare_delta(self, events: DataFrame, renames: list) -> DataFrame:
+    def _lww_use_broadcast(self, known_rows: int | None, events: DataFrame | None = None) -> bool:
+        """Decide the pre-reduce plan (see EngineConfig.lww_strategy)."""
+        cfg = self.cfg
+        if cfg.lww_strategy == "shuffle":
+            return False
+        if not (cfg.merge_mode == "mor" and cfg.overlay == "global"):
+            # bucketed writes need the shuffle anyway (it bucket-aligns)
+            return False
+        if cfg.lww_strategy == "broadcast":
+            return True
+        if cfg.lww_strategy != "auto":
+            raise ValueError(f"unknown lww_strategy: {cfg.lww_strategy!r}")
+        if known_rows is not None:
+            rows = known_rows
+        elif self._last_events_applied is not None:
+            rows = self._last_events_applied * 2  # safety margin on an estimate
+        else:
+            return False
+        if rows > cfg.lww_broadcast_max_keys:
+            return False
+        if cfg.lww_broadcast_row_bytes and events is not None and rows > 0:
+            # Catalyst's own size estimate (zero jobs): on-disk bytes for
+            # file sources, so the threshold is calibrated in compressed
+            # terms (see the config comment)
+            try:
+                size = int(events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            except Exception:  # noqa: BLE001 — stats unavailable: stay safe
+                return False
+            return size / rows >= cfg.lww_broadcast_row_bytes
+        return True
+
+    def _prepare_delta(
+        self, events: DataFrame, renames: list, use_broadcast_lww: bool = False
+    ) -> DataFrame:
         cfg = self.cfg
         df = events
         # events minted before a rename still carry the old column name;
@@ -241,7 +311,11 @@ class CdcEngine:
         df = df.select(*keep)
         snap = self.table.snapshot
         if cfg.pre_reduce:
-            df = lww_agg(df, snap.key_cols, [snap.order_cols[0], SYS_EVENT])
+            order = [snap.order_cols[0], SYS_EVENT]
+            if use_broadcast_lww:
+                df = lww_semijoin(df, snap.key_cols, order)
+            else:
+                df = lww_agg(df, snap.key_cols, order)
         if cfg.extract_text and cfg.html_col in df.columns and cfg.text_col in df.columns:
             df = with_extracted_text(df, cfg.html_col, cfg.text_col)
         return df
@@ -254,6 +328,7 @@ class CdcEngine:
         batch_id: str | None = None,
         offsets: dict[int, int] | None = None,
         descriptors: list[str] | None = None,
+        approx_rows: int | None = None,
     ) -> dict:
         """Apply one change-event micro-batch exactly once.
 
@@ -263,7 +338,13 @@ class CdcEngine:
         its positions, so scanning the data to rediscover them is wasted
         work (one whole Spark job per batch, a pure Amdahl term that caps
         N→4N scaling on small batches). When either is absent the engine
-        falls back to the column-pruned discovery pre-pass."""
+        falls back to the column-pruned discovery pre-pass.
+
+        ``approx_rows``: the source's own estimate of this batch's event
+        count (a Kafka consumer knows how many records it polled). Only
+        used to pick the LWW pre-reduce plan on the known-offsets path
+        (see ``EngineConfig.lww_strategy``); correctness never depends on
+        it."""
         batch_id = batch_id or uuid.uuid4().hex
         t0 = time.time()
 
@@ -300,13 +381,16 @@ class CdcEngine:
                 F.count(F.lit(1)).alias("events_applied"),
                 F.sum((op == "D").cast("long")).alias("delete_events"),
             )
+            known_rows = approx_rows
         else:
             new_off, counts, descriptors = self._offsets_and_counts(fresh)
+            known_rows = counts["events_applied"]
         renames = evolution.evolve_table(self.table, None, descriptors=descriptors)
         if self.cfg.quarantine_dir:
             fresh, n_quarantined = self._quarantine(fresh, batch_id)
             counts["quarantined"] = n_quarantined
-        delta = self._prepare_delta(fresh, renames)
+        use_bcast = self.cfg.pre_reduce and self._lww_use_broadcast(known_rows, fresh)
+        delta = self._prepare_delta(fresh, renames, use_broadcast_lww=use_bcast)
         metrics = self.table.merge(
             delta,
             batch_id=batch_id,
@@ -331,8 +415,11 @@ class CdcEngine:
             {"kind": o.kind, "name": o.name, "new_name": o.new_name, "typ": o.typ}
             for o in renames
         ]
+        metrics["lww_plan"] = "broadcast" if use_bcast else "shuffle"
         metrics["seconds"] = round(time.time() - t0, 3)
         self.cp.commit(batch_id, new_off, metrics)
+        if counts.get("events_applied") is not None:
+            self._last_events_applied = counts["events_applied"]
         return metrics
 
     def maybe_compact(self, metrics: dict | None = None) -> dict | None:

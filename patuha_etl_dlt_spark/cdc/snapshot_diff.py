@@ -19,6 +19,21 @@ window, no per-row Python, output bounded by the number of CHANGED rows.
 At 10^10-row scale this is the O(|new| + |old|) scan it has to be, but
 the downstream MERGE then pays only O(changes) — vs the reference's full
 refresh which rewrites the entire target every cycle.
+
+Why the full target read is INHERENT (not an optimization gap): the 'D'
+side of the diff is "key in old, absent from new" — detecting it
+requires every old key to meet the join. A bucket-pruned target read
+restricted to the buckets the new snapshot's keys hash into only helps
+when some bucket contains NO new-snapshot key; with a full source
+snapshot every key (hence ~every bucket) is present, so the pruned set
+is the full set. Pruning becomes sound only when the SOURCE can push a
+changed-window hint (e.g. "only partitions P were touched since t") —
+then the caller should diff ``new_window`` against
+``table.read_buckets(buckets_of(new_window.keys))`` with delete scope
+limited to that window. Absent such a hint, per-cycle cost is
+O(|source| + |target|) scan + one shuffle — measured in BASELINE.md
+(round 5): the diff's wall-clock scales linearly with table size and is
+dominated by the two scans, exactly this bound.
 """
 
 from __future__ import annotations

@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cap Arrow transfer batches by BYTES, not rows: the default
+        # 10k-row batches are ~15 MB at 1.5 KB pages but 170 MB at 17 KB
+        # pages — with N python workers that is N×(batch + pandas copy) in
+        # flight at once, and an interleaved A/B on 17 KB Common-Crawl-size
+        # bodies measured 16-core extraction THRASHING at the default
+        # (16-29 s, reps up to 69 s) vs stable 8.8-9.5 s with a 32 MB cap;
+        # 4-core runs are unaffected (within noise). Byte-capped batches
+        # keep the pandas-UDF memory footprint independent of payload
+        # width — the knob that makes KB-payload columns scale with cores.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         # deterministic parquet sizes at scale; 128 MB matches HDFS-block-era
         # defaults and keeps 100 TB / 128 MB ≈ 800k splits tractable
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -581,3 +581,69 @@ def test_tombstone_gc_on_cadence_and_replay_converges(spark, tmp_path, feed):
     m = eng.apply_batch(to_df(spark, batches[0]), batch_id="t0-redelivered")
     assert m["rows_written"] == 0
     assert table_state(t) == oracle_state(pdf)
+
+
+def test_broadcast_lww_strategy_converges_and_auto_promotes(spark, tmp_path, feed):
+    """The broadcast pre-reduce (payload never shuffled) produces the same
+    final state as the shuffle plan; 'auto' picks it when the batch size
+    is known (discovery path) or learned (known-offsets path: first batch
+    shuffles, later batches promote once the size estimate lands), and a
+    source-provided approx_rows promotes immediately."""
+    pdf = feed[feed.lsn < 1200]
+    batches = [pdf[(pdf.lsn >= lo) & (pdf.lsn < lo + 400)] for lo in (0, 400, 800)]
+
+    def run(cfg, name, **apply_kw):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), PAGES_COLUMNS, key_cols="url",
+            order_col="warc_ts", num_buckets=8,
+        )
+        eng = CdcEngine(t, CheckpointStore(str(tmp_path / f"{name}_cp")), cfg)
+        plans = []
+        for i, b in enumerate(batches):
+            kw = dict(apply_kw)
+            if "offsets" in kw:
+                kw["offsets"] = {p: int(b.lsn.max()) for p in range(4)}
+            m = eng.apply_batch(to_df(spark, b), batch_id=f"b{i}", **kw)
+            plans.append(m["lww_plan"])
+        return t, plans
+
+    t_ref, plans_ref = run(EngineConfig(overlay="global", lww_strategy="shuffle"), "sh")
+    assert plans_ref == ["shuffle"] * 3
+
+    t_bc, plans_bc = run(EngineConfig(overlay="global", lww_strategy="broadcast"), "bc")
+    assert plans_bc == ["broadcast"] * 3
+    assert table_state(t_bc) == table_state(t_ref) == oracle_state(pdf)
+
+    # auto + discovery path: batch size known up front -> broadcast at
+    # once (row-bytes gate disabled: this tiny feed is narrow-payload)
+    auto0 = dict(overlay="global", lww_broadcast_row_bytes=0)
+    _, plans_auto = run(EngineConfig(**auto0), "au")
+    assert plans_auto == ["broadcast"] * 3
+
+    # auto + known-offsets path without approx_rows: first batch has no
+    # size information (safe shuffle), later batches promote
+    t_ko, plans_ko = run(
+        EngineConfig(**auto0), "ko", offsets=True, descriptors=[]
+    )
+    assert plans_ko == ["shuffle", "broadcast", "broadcast"]
+    assert table_state(t_ko) == oracle_state(pdf)
+
+    # source-provided approx_rows promotes the first batch too
+    _, plans_ap = run(
+        EngineConfig(**auto0), "ap", offsets=True, descriptors=[], approx_rows=400
+    )
+    assert plans_ap == ["broadcast"] * 3
+
+    # bucketed overlay needs the aligning shuffle: auto must refuse
+    _, plans_bk = run(EngineConfig(overlay="bucket", lww_broadcast_row_bytes=0), "bk")
+    assert plans_bk == ["shuffle"] * 3
+
+    # row-bytes gate: narrow payloads (this feed) stay on the shuffle
+    # plan under an impossible width threshold; the rows cap also demotes
+    _, plans_wd = run(EngineConfig(overlay="global", lww_broadcast_row_bytes=10**9), "wd")
+    assert plans_wd == ["shuffle"] * 3
+    _, plans_cap = run(
+        EngineConfig(overlay="global", lww_broadcast_row_bytes=0, lww_broadcast_max_keys=10),
+        "cap",
+    )
+    assert plans_cap == ["shuffle"] * 3

@@ -54,3 +54,28 @@ def test_salted_handles_null_order_col(spark):
     for fn in (lww_window, lww_agg, lambda d, k, o: lww_salted(d, k, o, 4)):
         out = fn(df, KEYS, ORDER).collect()
         assert len(out) == 1 and out[0]["v"] == "y"  # lsn breaks the tie
+
+
+def test_lww_semijoin_matches_agg(spark):
+    """The broadcast semi-join plan selects exactly the rows lww_agg's
+    winners are built from — including keys whose order column is NULL
+    (null-safe join) and keys with a single event."""
+    import datetime as dt
+
+    from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_semijoin
+
+    rows = []
+    for i in range(400):
+        k = f"u{i % 60}"
+        ts = None if i % 7 == 0 else dt.datetime(2026, 1, 1 + i % 5)
+        rows.append((k, ts, i, f"payload-{i}"))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lsn long, body string")
+    want = {
+        (r["url"], r["lsn"]) for r in lww_agg(df, ["url"], ["warc_ts", "lsn"]).collect()
+    }
+    got_rows = lww_semijoin(df, ["url"], ["warc_ts", "lsn"]).collect()
+    got = {(r["url"], r["lsn"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(got) == 60
+    # payload came through untouched (no struct repacking)
+    bodies = {r["lsn"]: r["body"] for r in got_rows}
+    assert all(v == f"payload-{k}" for k, v in bodies.items())

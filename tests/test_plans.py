@@ -174,3 +174,42 @@ def test_engine_apply_plan_one_shuffle_and_no_second_reduce(spark, tmp_path):
         assert calls == []  # mor + delta_reduced: no reduce inside merge
     finally:
         LT._lww_reduce = orig
+
+
+def test_broadcast_lww_plan_keeps_payload_out_of_exchanges(spark, tmp_path):
+    """The broadcast pre-reduce plan: ONE hash exchange total (the
+    column-pruned winner aggregation — which must be map-side combined),
+    a broadcast LEFT SEMI join, and the payload-bearing scan side flows
+    into the pandas UDF with no exchange — the KB-size html/text columns
+    never move through a shuffle."""
+    import datetime as dt
+
+    from patuha_etl_dlt_spark.cdc import CdcEngine, CheckpointStore
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
+    from patuha_etl_dlt_spark.cdc.envelope import PAGES_COLUMNS
+    from patuha_etl_dlt_spark.lake import LakeTable
+    from patuha_etl_dlt_spark.plans import count_exchanges, formatted_plan, has_partial_aggregation
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "blp"), PAGES_COLUMNS, "url", "warc_ts", num_buckets=8
+    )
+    eng = CdcEngine(
+        t, CheckpointStore(str(tmp_path / "blp_cp")),
+        EngineConfig(overlay="global", lww_strategy="broadcast"),
+    )
+    rows = [
+        (i, i % 4, "U", f"u{i % 50}", dt.datetime(2026, 1, 1), b"<p>x</p>", None, "en", None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, partition_id int, op string, url string, warc_ts timestamp, "
+        "html binary, text string, lang string, schema_json string",
+    )
+    assert eng._lww_use_broadcast(known_rows=len(rows), events=df) is True
+    delta = eng._prepare_delta(df, [], use_broadcast_lww=True)
+    plan = formatted_plan(delta)
+    assert count_exchanges(delta) == 1, plan  # winners agg only
+    assert has_partial_aggregation(delta), plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
