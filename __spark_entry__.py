@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_salted, lww_window
+from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_salted, lww_semijoin, lww_window
 from patuha_etl_dlt_spark.functions.sanitize import clean_string
 from patuha_etl_dlt_spark.functions.text import (
     LANG_STOPWORDS,
@@ -98,6 +98,20 @@ def cdc_lww_agg(spark, sf_dir):
 def cdc_lww_salted(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return lww_salted(ev, ["user_id"], ["ts", "event_id"], n_salt=8).select(*_lww_cols())
+
+
+def cdc_lww_semijoin(spark, sf_dir):
+    """Fourth physical LWW plan, same oracle: winner coordinates from a
+    column-pruned aggregation, broadcast LEFT SEMI back — the payload
+    never enters a shuffle (the heavy-payload strategy; see
+    cdc/dedup.py::lww_semijoin and the BASELINE.md round-5 crossover)."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_semijoin(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
 
 
 def cdc_apply_deletes_lake(spark, sf_dir):
@@ -962,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC engine surface
         "cdc_lww_window": cdc_lww_window,
         "cdc_lww_agg": cdc_lww_agg,
+        "cdc_lww_semijoin": cdc_lww_semijoin,
         "cdc_lww_salted": cdc_lww_salted,
         "cdc_apply_deletes_lake": cdc_apply_deletes_lake,
         "cdc_pull_cycle": cdc_pull_cycle,
@@ -1028,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_window": _LWW_ORACLE,
         "cdc_lww_agg": _LWW_ORACLE,
+        "cdc_lww_semijoin": _LWW_ORACLE,
         "cdc_lww_salted": _LWW_ORACLE,
         "cdc_apply_deletes_lake": _APPLY_ORACLE,
         "cdc_pull_cycle": _PULL_ORACLE,

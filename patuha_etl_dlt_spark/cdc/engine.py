@@ -107,20 +107,22 @@ class EngineConfig:
     # eligible AND (a) the row count — known up front on the discovery
     # path, via ``approx_rows``, or estimated from the previous batch
     # with a 2x margin — stays within lww_broadcast_max_keys, and (b)
-    # Catalyst's estimated bytes/row is at or above
-    # lww_broadcast_row_bytes (heavy payloads). Anything unknown falls
-    # back to the always-safe shuffle plan.
+    # the MEASURED on-disk bytes/row of the previous merge's own files
+    # is at or above lww_broadcast_row_bytes (heavy payloads). The first
+    # batch of a fresh engine has no measurement and takes the
+    # always-safe shuffle plan; anything unknown likewise.
     lww_strategy: str = "auto"
     # broadcast-path cap: winner rows ≤ this (~100 MB driver/executor
     # footprint at web-page key sizes). A backlog catch-up batch beyond it
     # auto-falls back to the shuffle plan.
     lww_broadcast_max_keys: int = 1_000_000
-    # 'auto' payload-width gate, in Catalyst-estimated (on-disk) bytes per
-    # row: the measured shuffle-vs-broadcast crossover sits between the
-    # ~2.6 KB/row estimate of 8.5 KB pages (shuffle wins) and the
-    # ~3.9 KB/row of 17 KB pages (broadcast wins decisively). 0 = ignore
-    # width, decide on rows alone.
-    lww_broadcast_row_bytes: int = 3_000
+    # 'auto' payload-width gate, in MEASURED on-disk bytes per written
+    # row (LakeTable.merge stats its own files — snappy-compressed,
+    # extracted text included): the crossover sits between the measured
+    # ~1.4 KB/row of 8.5 KB pages (shuffle wins) and ~2.7 KB/row of
+    # 17 KB pages (broadcast wins decisively). 0 = ignore width, decide
+    # on rows alone.
+    lww_broadcast_row_bytes: int = 2_000
     # columns never sanitized: merge keys (null keys are dropped with a
     # metric, not coerced) and extracted text (byte-identity contract)
     sanitize_exclude: tuple[str, ...] = ()
@@ -143,6 +145,12 @@ class CdcEngine:
         # fallback size estimate when the source doesn't know its own
         # poll size (steady-state feeds have stable batch shapes)
         self._last_events_applied: int | None = None
+        # measured on-disk bytes/row from the previous merge's own files
+        # (stat'd by LakeTable.merge): preferred width signal for the
+        # 'auto' LWW gate — Catalyst's estimate overstates width when a
+        # non-pushable filter (the literal-map offset predicate) carries
+        # no selectivity
+        self._last_row_bytes: float | None = None
 
     # ------------------------------------------------------------ plumbing
 
@@ -256,7 +264,7 @@ class CdcEngine:
             shutil.rmtree(bdir, ignore_errors=True)
         return clean, n_bad
 
-    def _lww_use_broadcast(self, known_rows: int | None, events: DataFrame | None = None) -> bool:
+    def _lww_use_broadcast(self, known_rows: int | None) -> bool:
         """Decide the pre-reduce plan (see EngineConfig.lww_strategy)."""
         cfg = self.cfg
         if cfg.lww_strategy == "shuffle":
@@ -276,16 +284,19 @@ class CdcEngine:
             return False
         if rows > cfg.lww_broadcast_max_keys:
             return False
-        if cfg.lww_broadcast_row_bytes and events is not None and rows > 0:
-            # Catalyst's own size estimate (zero jobs): on-disk bytes for
-            # file sources, so the threshold is calibrated in compressed
-            # terms (see the config comment)
-            try:
-                size = int(events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            except Exception:  # noqa: BLE001 — stats unavailable: stay safe
-                return False
-            return size / rows >= cfg.lww_broadcast_row_bytes
-        return True
+        if not cfg.lww_broadcast_row_bytes:
+            return True
+        # width signal: measured bytes/row from the previous merge's own
+        # written files — one unit system, stat'd by the engine itself.
+        # (A Catalyst sizeInBytes estimate was tried and rejected: it
+        # overstates width whenever a non-pushable filter — the
+        # literal-map offset predicate — carries no selectivity, and its
+        # units don't line up with the measured threshold.) No
+        # measurement yet (first batch of a fresh engine) → the
+        # always-safe shuffle plan.
+        if self._last_row_bytes is None:
+            return False
+        return self._last_row_bytes >= cfg.lww_broadcast_row_bytes
 
     def _prepare_delta(
         self, events: DataFrame, renames: list, use_broadcast_lww: bool = False
@@ -389,7 +400,7 @@ class CdcEngine:
         if self.cfg.quarantine_dir:
             fresh, n_quarantined = self._quarantine(fresh, batch_id)
             counts["quarantined"] = n_quarantined
-        use_bcast = self.cfg.pre_reduce and self._lww_use_broadcast(known_rows, fresh)
+        use_bcast = self.cfg.pre_reduce and self._lww_use_broadcast(known_rows)
         delta = self._prepare_delta(fresh, renames, use_broadcast_lww=use_bcast)
         metrics = self.table.merge(
             delta,
@@ -420,6 +431,8 @@ class CdcEngine:
         self.cp.commit(batch_id, new_off, metrics)
         if counts.get("events_applied") is not None:
             self._last_events_applied = counts["events_applied"]
+        if metrics.get("bytes_written") and metrics.get("rows_written"):
+            self._last_row_bytes = metrics["bytes_written"] / metrics["rows_written"]
         return metrics
 
     def maybe_compact(self, metrics: dict | None = None) -> dict | None:

@@ -656,6 +656,12 @@ class LakeTable:
             "batch_id": batch_id,
             "mode": mode,
             "buckets_touched": len({f.bucket for f in new_files}),
+            # on-disk bytes of this batch's files (driver-side stat of a
+            # handful of paths): feeds the engine's measured bytes/row —
+            # the LWW auto-strategy's width signal
+            "bytes_written": sum(
+                os.path.getsize(os.path.join(self.root, f.path)) for f in new_files
+            ),
         }
         if collect_metrics:
             metrics.update(obs_out.get)

@@ -647,3 +647,10 @@ def test_broadcast_lww_strategy_converges_and_auto_promotes(spark, tmp_path, fee
         "cap",
     )
     assert plans_cap == ["shuffle"] * 3
+
+    # measured-width feedback: with a 1-byte threshold the first batch
+    # still safe-shuffles (no measurement yet), then the merge's own
+    # file stats promote to broadcast
+    t_fb, plans_fb = run(EngineConfig(overlay="global", lww_broadcast_row_bytes=1), "fb")
+    assert plans_fb == ["shuffle", "broadcast", "broadcast"]
+    assert table_state(t_fb) == oracle_state(pdf)

@@ -206,7 +206,7 @@ def test_broadcast_lww_plan_keeps_payload_out_of_exchanges(spark, tmp_path):
         "lsn long, partition_id int, op string, url string, warc_ts timestamp, "
         "html binary, text string, lang string, schema_json string",
     )
-    assert eng._lww_use_broadcast(known_rows=len(rows), events=df) is True
+    assert eng._lww_use_broadcast(known_rows=len(rows)) is True
     delta = eng._prepare_delta(df, [], use_broadcast_lww=True)
     plan = formatted_plan(delta)
     assert count_exchanges(delta) == 1, plan  # winners agg only
