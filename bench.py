@@ -503,6 +503,7 @@ def main() -> None:
         # controls carry their own informational flags (a noisy control
         # must not poison the recorded pipeline metric).
         reps: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+        last_pair_probed = [True]  # did the most recent pair include probes?
 
         class _BudgetExhausted(RuntimeError):
             pass
@@ -511,11 +512,21 @@ def main() -> None:
             # hi level sampled twice per pair: a 16-core child needs a
             # long quiet window (rare), while the 4-core arm's best is
             # stable across reps — more samples where variance lives.
+            # Order (hi, lo, hi): the window right after the parent's
+            # 32-core burn is the WORST on this host (CPU-credit
+            # throttle: both recorded full runs show the first child's
+            # warmups at 95-154 s vs 24 s standalone, recovering
+            # monotonically) — a throttled FIRST sample must land on the
+            # hi arm, where it only deflates the ratio (conservative) and
+            # the pair's second hi sample recovers the best; a throttled
+            # LO arm inflates efficiency into the impossible range (both
+            # prior runs recorded 1.28-2.70 and were flagged).
             # The probe/control measurements only need ONE clean sample
             # per level, so repeat pairs skip them (~40% cheaper), which
             # buys more interleaved pipeline samples inside the budget.
             probed = bool(reps[n_lo]) and bool(reps[n_hi])
-            for c in (n_lo, n_hi, n_hi):
+            last_pair_probed[0] = not probed
+            for c in (n_hi, n_lo, n_hi):
                 if remaining() < 120:
                     raise _BudgetExhausted(
                         f"{remaining():.0f}s left of BENCH_TIME_BUDGET_S={budget_s:.0f}"
@@ -658,7 +669,14 @@ def main() -> None:
                     or scaling["pipeline_efficiency_n_to_4n"] < 0.55
                 )
                 and len(reps[n_lo]) < max_reps
-                and remaining() > max(240.0, 0.9 * pair_cost)
+                # price the NEXT pair, not the last one: repeat pairs skip
+                # the probe/control phase (~40% of a full pair) — run 2 of
+                # round 5 lost its extension to exactly this (remaining
+                # 916 s vs a 0.9×full-pair guard of ~930 s). Once pairs
+                # are already probe-free, their measured cost IS the
+                # next-pair cost.
+                and remaining()
+                > max(240.0, 0.9 * (0.6 if last_pair_probed[0] else 1.0) * pair_cost)
             ):
                 tp = time.time()
                 run_pair()
