@@ -79,3 +79,42 @@ def test_lww_semijoin_matches_agg(spark):
     # payload came through untouched (no struct repacking)
     bodies = {r["lsn"]: r["body"] for r in got_rows}
     assert all(v == f"payload-{k}" for k, v in bodies.items())
+
+
+def test_lww_plans_agree_property(spark):
+    """Property check: all four physical LWW plans (window, agg, salted,
+    semijoin) select the SAME winner coordinate (key, lsn) on random
+    event sets — including NULL order values, single-event keys, and
+    adversarial ties in the order column (lsn, unique, breaks them)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from patuha_etl_dlt_spark.cdc.dedup import lww_agg, lww_salted, lww_semijoin, lww_window
+
+    ev = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # ts offset or NULL
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(ev, min_size=1, max_size=12))
+    def check(events):
+        rows = [
+            (lsn, k, None if t is None else dt.datetime(2026, 1, 1) + dt.timedelta(seconds=t), f"v{lsn}")
+            for lsn, (k, t) in enumerate(events)
+        ]
+        df = spark.createDataFrame(rows, "lsn long, url string, warc_ts timestamp, body string")
+        # python oracle: max (ts, lsn) per key, NULL ts smallest
+        best = {}
+        for lsn, (k, t) in enumerate(events):
+            coord = (-1 if t is None else t, lsn)
+            if k not in best or coord > best[k]:
+                best[k] = coord
+        want = {(k, lsn) for k, (_, lsn) in best.items()}
+        for plan in (lww_window, lww_agg, lww_salted, lww_semijoin):
+            got = {(r["url"], r["lsn"]) for r in plan(df, ["url"], ["warc_ts", "lsn"]).collect()}
+            assert got == want, (plan.__name__, got, want)
+
+    check()
