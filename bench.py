@@ -522,11 +522,13 @@ def main() -> None:
             # LO arm inflates efficiency into the impossible range (both
             # prior runs recorded 1.28-2.70 and were flagged).
             # The probe/control measurements only need ONE clean sample
-            # per level, so repeat pairs skip them (~40% cheaper), which
-            # buys more interleaved pipeline samples inside the budget.
-            probed = bool(reps[n_lo]) and bool(reps[n_hi])
-            last_pair_probed[0] = not probed
+            # per level, so every child after a level's first skips them
+            # (~40% cheaper per repeat pair, and pair 1's second hi child
+            # saves its probe set too) — buys more interleaved pipeline
+            # samples inside the budget.
+            last_pair_probed[0] = not (bool(reps[n_lo]) and bool(reps[n_hi]))
             for c in (n_hi, n_lo, n_hi):
+                probed = bool(reps[c])
                 if remaining() < 120:
                     raise _BudgetExhausted(
                         f"{remaining():.0f}s left of BENCH_TIME_BUDGET_S={budget_s:.0f}"
