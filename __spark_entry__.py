@@ -56,6 +56,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Scan-parallelism floor for heavy NARROW pipelines (guide §2.5
+    "input skew: one huge unsplittable file → repartition immediately
+    after the read"): the testdata tables are single-row-group parquet
+    files, so every scan-stage computation (tokenize, per-doc media
+    synth/decode, text statistics) otherwise runs in ONE task regardless
+    of core count. A deterministic hash repartition on the row key spreads
+    that work across the executor cores for the price of shuffling the
+    (small) source rows once. Scale-adaptive, not a local constant: when
+    the scan already yields at least defaultParallelism splits (the
+    100 TB case — thousands of row groups), this is a no-op and no
+    shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, key)
+
+
 def _dec(c: str):
     return F.col(c).cast("decimal(18,6)")
 
@@ -539,18 +558,18 @@ def set_ops_customers(spark, sf_dir):
 
 
 def doc_token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
 def doc_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     feats = quality_features(F.col("text"))
     return d.select("doc_id", *[feats[k].alias(k) for k in feats])
 
 
 def doc_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     scores = lang_scores(F.col("text"))
     return d.select(
         "doc_id",
@@ -560,7 +579,7 @@ def doc_lang_id(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -572,7 +591,7 @@ def url_canonical_dedup(spark, sf_dir):
     arithmetic — a canonicalization bug shows up as a group mismatch."""
     from patuha_etl_dlt_spark.functions.url import canonical_url_groups
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     pid = (F.col("doc_id") % 50).cast("string")
     h = ((F.col("doc_id") % 50) % 7).cast("string")
     m = F.col("doc_id") % 5
@@ -588,19 +607,19 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 def dedup_exact_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return exact_duplicate_groups(d, "doc_id", "text")
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).withColumn(
         "jaccard", F.col("jaccard").cast("double")
     )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return minhash_lsh_pairs(d, "doc_id", "text", n_hashes=64, bands=16, verify_threshold=0.5).withColumn(
         "jaccard", F.col("jaccard").cast("double")
     )
@@ -612,7 +631,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     assembly, Hamming threshold — is value-checked against a DuckDB
     all-pairs oracle (banding has exact recall by pigeonhole, so the
     banded join and the all-pairs join must produce identical pairs)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return simhash_near_pairs(d, "doc_id", "text", max_hamming=3, token_hash="md5_60")
 
 
@@ -623,21 +642,21 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 def ann_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return cosine_topk(_spread(e, "vec_id"), e.filter(F.col("vec_id") < 5), k=10)
 
 
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dim=64)
+    return lsh_cosine_topk(_spread(e, "vec_id"), e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dim=64)
 
 
 def dedup_embedding_near(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     return embedding_near_pairs(e, threshold=0.45)
 
 
 def dedup_embedding_near_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     return embedding_near_pairs(e, threshold=0.45, n_bits=4, dim=64)
 
 
@@ -647,7 +666,7 @@ def dedup_embedding_near_lsh(spark, sf_dir):
 
 
 def multimodal_meta(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
@@ -671,7 +690,7 @@ def media_decode(spark, sf_dir):
 
     from patuha_etl_dlt_spark.operators.multimodal import MEDIA_SCHEMA, synth_bmp
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
 
     def gen(batches):
         for pdf in batches:

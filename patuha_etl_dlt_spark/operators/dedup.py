@@ -47,13 +47,18 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Sliding window
-    over the token array via transform(sequence(...)) — JVM-side, no UDF.
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word n-gram shingles as ONE array column:
+    (id, garr). Entirely narrow — tokenize, sliding window and
+    per-row ``array_distinct`` all happen in the scan stage, so the
+    distinct set per doc costs NO shuffle (the former
+    ``explode().distinct()`` formulation paid a full (id, shingle)
+    exchange just to dedup within rows, and every consumer re-ran the
+    tokenizer because the distinct was a separate subtree).
 
-    Docs with fewer than ``n`` tokens yield no shingles (empty index array);
-    an unguarded ``sequence(0, size-n)`` would descend ([0,-1]) and index
-    past the token array, crashing the job under ANSI mode.
+    Docs with fewer than ``n`` tokens yield an empty array; an unguarded
+    ``sequence(0, size-n)`` would descend ([0,-1]) and index past the
+    token array, crashing the job under ANSI mode.
 
     The token array is projected ONCE before the gram lambda: referencing
     ``split(regexp_replace(...))`` directly inside the lambda re-evaluates
@@ -71,7 +76,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         idxs,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return base.select("id", F.explode(grams).alias("shingle")).distinct()
+    return base.select("id", F.array_distinct(grams).alias("garr"))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle) — the exploded
+    view of ``shingle_arrays`` (same values; dedup now happens per row via
+    ``array_distinct`` instead of a shuffle-wide ``distinct()``)."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("garr").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -102,8 +116,13 @@ def ngram_jaccard_pairs(
     ``max_df``: additionally drop shingles in > max_df docs from the index
     — NOT exact (may lose pairs); leave None for oracle-checked mode.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    arr = shingle_arrays(df, id_col, text_col, n)
+    # doc set size rides along as a per-row scalar — the former separate
+    # ``sizes`` aggregation (one more exchange + one more tokenize of the
+    # whole corpus, then TWO joins to re-attach it) is gone
+    sh = arr.select(
+        "id", F.size("garr").alias("sz"), F.explode("garr").alias("shingle")
+    )
 
     index = sh
     if max_df is not None:
@@ -122,7 +141,6 @@ def ngram_jaccard_pairs(
                     Window.partitionBy("id").orderBy(F.col("df_"), F.col("shingle"))
                 ),
             )
-            .join(sizes, "id")
             .filter(
                 F.col("_rk")
                 <= F.floor((1.0 - threshold) * F.col("sz")).cast("long") + 1
@@ -137,8 +155,10 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        # verify candidates with the full intersection (exact)
-        sets = sh.groupBy("id").agg(F.sort_array(F.collect_set("shingle")).alias("s"))
+        # verify candidates with the full intersection (exact); the sets
+        # come straight from the per-row gram arrays — no collect_set
+        # aggregation pass
+        sets = arr.select("id", F.sort_array("garr").alias("s"))
         out = (
             cand.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
             .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
@@ -156,18 +176,28 @@ def ngram_jaccard_pairs(
         )
         return out
 
-    a = index.select(F.col("id").alias("id_a"), "shingle")
-    b = index.select(F.col("id").alias("id_b"), "shingle")
+    a = index.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = index.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+    # size-compatibility prefilter (exact-safe): jaccard ≤ min(sz)/max(sz)
+    # because common ≤ min and union ≥ max — pairs whose size ratio cannot
+    # reach the threshold are dropped BEFORE the pair-count shuffle. The
+    # 1e-4 slack covers the round(·,4) applied to the final jaccard, so no
+    # boundary pair can be lost.
+    size_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= (
+        (threshold - 1e-4) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+    )
+    # shuffle_hash: both sides are the same ~|corpus|·|set| exploded index;
+    # a per-partition hash build beats sorting both sides, and it stops the
+    # planner broadcasting a multi-million-row index (the old plan built a
+    # BroadcastExchange over the whole distinct shingle table)
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
         )
@@ -189,16 +219,52 @@ def _minhash_exprs(base, k: int, seed: int = 1):
     return exprs
 
 
+def _minhash_mins(hs, k: int, seed: int = 1):
+    """k min-hashes over a base-hash ARRAY column as one array<long>
+    expression — each rehash is an ``array_min`` over an affine transform
+    of ``hs``. Values are identical to the former
+    ``groupBy(id).agg(k × min(...))`` plan (same arithmetic, same
+    Mersenne modulus), minus its full-corpus exchange. ``hs`` must be a
+    bare column reference: referenced k times, so an inline expression
+    would be evaluated k times per row."""
+
+    def affine(a: int, b: int):
+        # closure factory: a default-arg lambda would read as a 3-arg
+        # higher-order lambda to the analyzer
+        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    mins = []
+    for i in range(k):
+        a = (2 * (seed * 1_000_003 + i * 7919) + 1) % MERSENNE_P or 1
+        b = (seed * 998_244_353 + i * 104_729) % MERSENNE_P
+        mins.append(F.array_min(F.transform(hs, affine(a, b))))
+    return F.array(*mins)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig array<long>) — k min-hashes per doc in ONE aggregation."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    base = F.abs(F.xxhash64("shingle"))
-    hs = _minhash_exprs(base, n_hashes)
-    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hs)]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    """(id, sig array<long>) — k min-hashes per doc, computed per ROW from
+    the doc's distinct-shingle array (zero shuffles; docs with no shingles
+    yield no row, matching the former exploded-groupBy plan).
+
+    Plan shape notes: docs without shingles are dropped by a CHEAP token
+    count predicate on the raw text (< shingle_n tokens ⇔ empty shingle
+    set) — filtering on ``size(garr)`` instead would inline the whole
+    shingle expression into the pushed-down filter. The per-shingle base
+    hash is projected ONCE into ``hs``; the k rehashes reference it as a
+    column, each a single array_min pass."""
+    src = df.filter(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")) >= shingle_n
+    )
+    arr = shingle_arrays(src, id_col, text_col, shingle_n)
+    hs = arr.select(
+        "id",
+        F.transform("garr", lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE_P)).alias(
+            "hs"
+        ),
+    )
+    return hs.select("id", _minhash_mins(F.col("hs"), n_hashes).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -235,12 +301,11 @@ def minhash_lsh_pairs(
     # Verify ONLY the LSH candidate pairs: join candidates to per-doc shingle
     # sets and compute the exact intersection on those pairs alone. Cost is
     # output-bound (O(|candidates|)), never pair-bound — the whole point of
-    # LSH at 100 TB. (Previously this recomputed exact Jaccard over the full
-    # corpus, making LSH no cheaper than the inverted-index join.)
-    sets = (
-        word_shingles(df, id_col, text_col, shingle_n)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("s"))
+    # LSH at 100 TB. The sets come straight from the per-row gram arrays
+    # (no collect_set aggregation — that was a second full-corpus exchange
+    # re-assembling exactly the array the explode had just taken apart).
+    sets = shingle_arrays(df, id_col, text_col, shingle_n).select(
+        "id", F.col("garr").alias("s")
     )
     return (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")

@@ -218,6 +218,22 @@ def synth_png(
     import zlib
 
     ch = _PNG_CHANNELS[color_type]
+    if fill is not None and filter_type == 0:
+        # solid image, no filtering: every scanline is identical — build
+        # the whole raw stream with one bytes multiply instead of a
+        # per-row Python loop through the predictor (the loop is pure
+        # overhead here: filter 0's prediction is zero, so the filtered
+        # bytes ARE the pixel bytes). Same decoded pixels; the IDAT
+        # byte stream differs only in deflate block boundaries, which no
+        # consumer observes (n_bytes is zlib-size-dependent either way).
+        raw = (bytes([0]) + bytes([fill % 256]) * (width * ch)) * height
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 1))
+            + _png_chunk(b"IEND", b"")
+        )
     if fill is not None:
         pixels = np.full((height, width * ch), fill % 256, dtype=np.uint8)
     else:
@@ -331,13 +347,23 @@ def _png_decode(payload: bytes, media_type: str) -> dict:
         stride = width * ch
         if len(stream) != height * (1 + stride):
             return out
-        recon = np.zeros((height, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(height):
-            off = y * (1 + stride)
-            row = np.frombuffer(stream, np.uint8, stride, offset=off + 1)
-            prev = _png_unfilter_row(row, prev, stream[off], ch)
-            recon[y] = prev
+        scan = np.frombuffer(stream, np.uint8).reshape(height, 1 + stride)
+        ftypes, rows = scan[:, 0], scan[:, 1:]
+        # fast vectorized unfilter for whole-image filter types (the
+        # overwhelmingly common encoder outputs): all-None is a pure
+        # slice, all-Up is a column-wise cumulative sum (uint8 wraps mod
+        # 256 natively). Anything else walks scanlines as before — the
+        # per-row reconstruction needs the previous reconstructed row.
+        if not ftypes.any():  # every scanline filter 0 (None)
+            recon = rows
+        elif (ftypes == 2).all():  # every scanline filter 2 (Up)
+            recon = np.cumsum(rows, axis=0, dtype=np.uint8)
+        else:
+            recon = np.zeros((height, stride), dtype=np.uint8)
+            prev = np.zeros(stride, dtype=np.uint8)
+            for y in range(height):
+                prev = _png_unfilter_row(rows[y], prev, int(ftypes[y]), ch)
+                recon[y] = prev
         out["feature"] = _byte_histogram_feature(_png_gray(recon.ravel(), ctype))
     except (struct.error, zlib.error, IndexError, ValueError):
         pass  # malformed: keep whatever parsed

@@ -71,6 +71,21 @@ def get_spark(
         # pointer swap, so a partially-committed job is invisible — the
         # manifest, not _SUCCESS, is the source of truth.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+        # under every explode; predicate pushdown then INLINES the array
+        # expression into that filter (losing shared sub-projections), so an
+        # explode over a computed array — every dedup/banding operator here —
+        # re-tokenizes each row inside the filter, below the exchange, in the
+        # scan stage. Measured on dedup_ngram_jaccard at sf1.0: explode of the
+        # per-doc shingle array 163 s with the rule on, 0.9 s with it off.
+        # The rule only ever helps when the exploded column is a STORED column
+        # whose emptiness can prune at the source; this engine always explodes
+        # computed arrays, so it is excluded session-wide (guide §2.4: remove
+        # work the optimizer adds that the plan can never use).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
