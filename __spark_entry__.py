@@ -156,6 +156,11 @@ def cdc_apply_deletes_lake(spark, sf_dir):
             delta.filter(F.col("_event_id") % 3 == i),
             batch_id=f"b{i}",
             collect_metrics=False,
+            # global overlay: each batch writes plain coalesced delta files
+            # at the session's shuffle width instead of pinning the whole
+            # plan to num_buckets partitions (8-wide on a 32-core box);
+            # the final read LWW-resolves identically (property-tested)
+            overlay="global",
         )
     return t.read().select("user_id", "ts", "event_type", "value", "props")
 
@@ -177,6 +182,7 @@ def cdc_pull_cycle(spark, sf_dir):
     scan filtered by it → exactly-once MERGE → cursor advance. Cycle 2
     MUST only see rows above cycle 1's cursor; the final state equals the
     one-shot LWW SQL over all events."""
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
     from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
     from patuha_etl_dlt_spark.config import TableConfig
 
@@ -195,7 +201,14 @@ def cdc_pull_cycle(spark, sf_dir):
         num_buckets=8,
     )
     root = tempfile.mkdtemp(prefix="entry_pull_")
-    orch = SyncOrchestrator(spark, root, [cfg], sources={"pull": source})
+    # global overlay: pull merges write plain coalesced delta files at the
+    # session's shuffle width instead of a plan pinned to num_buckets=8
+    # partitions; the read LWW-resolves identically (measured 2.6->2.1 s
+    # warm, 9.3->2.7 s cold at sf1.0)
+    orch = SyncOrchestrator(
+        spark, root, [cfg], sources={"pull": source},
+        engine_config=EngineConfig(overlay="global"),
+    )
     (r1,) = orch.pull_cycle("t1")
     assert r1.status == "perfect", r1.metrics
     assert orch.engine("pull").cp.cursor() == cut  # cursor advanced to T1's edge
@@ -229,6 +242,7 @@ def cdc_snapshot_diff(spark, sf_dir):
     it) diff each full snapshot against the lake and MERGE only the
     derived I/U/D events; the final state must equal the T=∞ snapshot —
     including rows DELETED between the snapshots."""
+    from patuha_etl_dlt_spark.cdc.engine import EngineConfig
     from patuha_etl_dlt_spark.cdc.orchestrator import SyncOrchestrator
     from patuha_etl_dlt_spark.config import TableConfig
 
@@ -248,7 +262,10 @@ def cdc_snapshot_diff(spark, sf_dir):
         num_buckets=8,
     )
     root = tempfile.mkdtemp(prefix="entry_sd_")
-    orch = SyncOrchestrator(spark, root, [cfg], sources={"sd": upstream_snapshot})
+    orch = SyncOrchestrator(
+        spark, root, [cfg], sources={"sd": upstream_snapshot},
+        engine_config=EngineConfig(overlay="global"),  # see cdc_pull_cycle
+    )
     (r1,) = orch.pull_cycle("t1")
     assert r1.status == "perfect" and r1.metrics["changes"] > 0, r1.metrics
     phase["n"] = 2
@@ -362,7 +379,7 @@ def events_rollup_incremental(spark, sf_dir):
     in decimal so the fold order cannot perturb the values."""
     from patuha_etl_dlt_spark.cdc.rollup import IncrementalRollup
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"), "event_id")
     root = tempfile.mkdtemp(prefix="entry_rollup_")
     ru = IncrementalRollup.create(
         spark,
@@ -423,6 +440,8 @@ def revenue_by_nation(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    o = _spread(o, "o_orderkey")  # orders is a 2-row-group file: spread the
+    # 3 broadcast joins + partial agg over all cores (guide §2.5)
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

@@ -74,11 +74,19 @@ class EngineConfig:
     expire_snapshots_keep: int | None = None
     # on the compaction cadence, purge tombstones every feed partition has
     # passed (event id < min(checkpointed offsets)) from the buckets being
-    # rewritten anyway — opportunistic, O(0) extra I/O. Replay safety: the
-    # offset filter drops any replayed event at or below that horizon, so
-    # a purged tombstone can never lose an LWW race it would have won.
-    # Without this, a 10^10-event feed with deletes accretes tombstones
-    # forever unless the operator calls compact_tombstones() by hand.
+    # rewritten anyway — opportunistic, O(0) extra I/O. SAFETY: the purge
+    # only fires when the table's primary LWW order column IS the LSN
+    # (order_col=None at create time ⇒ order_cols[0] == _event_id). Under
+    # any other order column the horizon is NOT sufficient: a future event
+    # with lsn above the horizon but an older/NULL order value would have
+    # LOST the LWW race to the purged tombstone (key stays deleted), and
+    # purging would silently resurrect it — the engine does not require
+    # order_col to be monotone in LSN, so it cannot assume it. Tables
+    # ordered by a business column keep their tombstones until the
+    # operator calls compact_tombstones() with a horizon they can vouch
+    # for. Replay safety on the LSN-ordered path: the offset filter drops
+    # any replayed event at or below the horizon, and every future event
+    # outranks the purged tombstone by LSN.
     gc_tombstones: bool = True
     # Reduce the batch to one winner per key BEFORE text extraction: the
     # pandas UDF then (a) runs post-shuffle, so its parallelism is
@@ -105,8 +113,8 @@ class EngineConfig:
     # struct per key and collapses (19-75 s vs broadcast's stable 12.5 s
     # at 16 cores). 'auto' therefore picks broadcast when the batch is
     # eligible AND (a) the row count — known up front on the discovery
-    # path, via ``approx_rows``, or estimated from the previous batch
-    # with a 2x margin — stays within lww_broadcast_max_keys, and (b)
+    # path, via ``approx_rows``, or bounded from above by the
+    # checkpointed-offset gap — stays within lww_broadcast_max_keys, and (b)
     # the MEASURED on-disk bytes/row of the previous merge's own files
     # is at or above lww_broadcast_row_bytes (heavy payloads). The first
     # batch of a fresh engine has no measurement and takes the
@@ -278,9 +286,17 @@ class CdcEngine:
             raise ValueError(f"unknown lww_strategy: {cfg.lww_strategy!r}")
         if known_rows is not None:
             rows = known_rows
-        elif self._last_events_applied is not None:
-            rows = self._last_events_applied * 2  # safety margin on an estimate
         else:
+            # no sound size bound for this batch (fresh engine on the
+            # offset-less path, or a caller that knows neither poll size
+            # nor offsets): the always-safe shuffle plan. A prior-batch
+            # estimate was used here once (last_applied × 2) and rejected:
+            # a backlog catch-up batch far beyond steady state would
+            # silently take the broadcast plan and risk failing the job on
+            # the broadcast size cap — apply_batch instead derives a SOUND
+            # upper bound from the checkpointed-offset gap when the source
+            # reports offsets (LSNs are unique, so per-partition
+            # new − committed bounds the batch's row count from above).
             return False
         if rows > cfg.lww_broadcast_max_keys:
             return False
@@ -393,6 +409,21 @@ class CdcEngine:
                 F.sum((op == "D").cast("long")).alias("delete_events"),
             )
             known_rows = approx_rows
+            if known_rows is None:
+                # sound row-count UPPER bound from the offset gap: each
+                # feed partition p can contribute at most
+                # (new_offset_p − committed_offset_p) events because LSNs
+                # are unique and the offset filter drops everything at or
+                # below the committed mark. Over-counts on sparse/global
+                # LSN spaces, which only ever forces the safe shuffle plan
+                # — never an under-sized broadcast (a backlog catch-up
+                # batch can no longer sneak past lww_broadcast_max_keys on
+                # a stale prior-batch estimate).
+                prev_off = self.cp.offsets()
+                known_rows = sum(
+                    max(0, int(l) - int(prev_off.get(int(p), -1)))
+                    for p, l in offsets.items()
+                )
         else:
             new_off, counts, descriptors = self._offsets_and_counts(fresh)
             known_rows = counts["events_applied"]
@@ -435,6 +466,14 @@ class CdcEngine:
             self._last_row_bytes = metrics["bytes_written"] / metrics["rows_written"]
         return metrics
 
+    def _gc_safe(self) -> bool:
+        """The min-offset tombstone horizon is only sound when LWW order is
+        the LSN itself: with a business order column, an above-horizon
+        event can still LOSE to a below-horizon tombstone (older/NULL
+        order value), so purging that tombstone would resurrect the key.
+        See EngineConfig.gc_tombstones."""
+        return self.table.snapshot.order_cols[0] == SYS_EVENT
+
     def maybe_compact(self, metrics: dict | None = None) -> dict | None:
         """Advance the compaction cadence by one committed merge and fold
         when it fires — called by ``apply_batch`` AND by the pull paths
@@ -446,8 +485,9 @@ class CdcEngine:
         fixed cost that grows with history. On the cadence it also
         (a) purges passed tombstones from the rewrite (``gc_tombstones``;
         horizon = min checkpointed offset — every feed partition has
-        advanced past it and the offset filter drops any replay below it)
-        and (b) expires old snapshots when configured."""
+        advanced past it and the offset filter drops any replay below it;
+        ONLY when the table's LWW order is the LSN itself, see
+        ``_gc_safe``) and (b) expires old snapshots when configured."""
         if not (self.cfg.compact_every and self.cfg.merge_mode == "mor"):
             return metrics
         if self._n_batches is None:
@@ -455,7 +495,7 @@ class CdcEngine:
         self._n_batches += 1
         if self._n_batches % self.cfg.compact_every == 0:
             horizon = None
-            if self.cfg.gc_tombstones:
+            if self.cfg.gc_tombstones and self._gc_safe():
                 offs = self.cp.offsets()
                 if offs:
                     horizon = min(offs.values())

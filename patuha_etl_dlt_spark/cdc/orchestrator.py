@@ -45,6 +45,36 @@ from patuha_etl_dlt_spark.config import TableConfig
 from patuha_etl_dlt_spark.lake import LakeTable
 
 
+def _check_cursor_type(prev, dtype) -> None:
+    """Pre-merge guard matching ``checkpoint._max_cursor``'s type rules:
+    a committed int/float cursor is only advanceable by a NUMERIC source
+    column; a committed string cursor (timestamps/dates json-serialize to
+    str, see ``_json_cursor``) by a string/timestamp/date column. Any
+    other combination would raise inside the post-merge checkpoint commit
+    — permanently wedging the cycle — so it raises HERE, before the merge
+    runs, where the failure is clean and the cycle retryable after an
+    explicit cursor migration."""
+    from pyspark.sql import types as T
+
+    if prev is None:
+        return
+    if isinstance(prev, (int, float)) and not isinstance(prev, bool):
+        ok = isinstance(dtype, T.NumericType)
+    elif isinstance(prev, str):
+        ok = isinstance(
+            dtype, (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+    else:
+        ok = False
+    if not ok:
+        raise TypeError(
+            f"cursor type changed: checkpoint holds {type(prev).__name__}"
+            f"({prev!r}) but the source cursor column is now {dtype.simpleString()}; "
+            "a type flip would bypass the monotone guard. Migrate the cursor "
+            "explicitly (reset the checkpoint or normalize the source type)."
+        )
+
+
 def _json_cursor(v):
     """Canonical JSON-storable cursor value. Timestamps/dates become
     Python's ``str()`` form (``YYYY-MM-DD HH:MM:SS[.ffffff]`` — fractions
@@ -297,6 +327,14 @@ class SyncOrchestrator:
                 if last is None:
                     last = self._derive_cursor_from_target(eng, cfg.cursor)
                 df, desc = self._build_scan(name, last)
+                # fail a cursor TYPE FLIP before any state lands: the
+                # checkpoint's monotone guard would raise inside commit —
+                # after the MERGE — wedging the cycle on the heal path
+                # (every retry skips the merge and re-raises on
+                # re-commit). The source column's type is known from the
+                # introspected scan schema, so the mismatch is detectable
+                # up front, where failing is clean and retryable.
+                _check_cursor_type(last, df.schema[cfg.cursor].dataType)
                 # source-introspection evolution BEFORE apply: a column
                 # added/widened upstream evolves the lake table as
                 # metadata-only ops, then the batch (old rows NULL-filled,

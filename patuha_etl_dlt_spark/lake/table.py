@@ -724,10 +724,14 @@ class LakeTable:
         ``purge_tombstones_below``: additionally drop tombstone rows whose
         event id is below this horizon from the buckets being rewritten
         anyway — zero extra I/O vs a standalone ``compact_tombstones``
-        full rewrite. Safe once no event with a smaller LSN can be applied
-        again (the engine passes min(checkpointed offsets): the offset
-        filter drops replays at or below it, and any future event outranks
-        the purged tombstone by LSN, so LWW converges identically).
+        full rewrite. Safe ONLY when the table's LWW order is LSN-monotone
+        per key — in particular when ``order_cols[0]`` is the ``_event_id``
+        lineage column itself (the engine's ``gc_tombstones`` checks this
+        before passing a horizon). With a business order column, a future
+        above-horizon event can carry an older/NULL order value and LOSE
+        the LWW race to a below-horizon tombstone; purging that tombstone
+        would resurrect the key. Callers with such tables must vouch for
+        their own horizon.
         Tombstones in buckets this fold does not touch survive until their
         bucket next compacts — opportunistic GC; buckets that keep
         receiving deletes keep getting folded, which bounds growth exactly

@@ -190,14 +190,25 @@ def ngram_jaccard_pairs(
     # a per-partition hash build beats sorting both sides, and it stops the
     # planner broadcasting a multi-million-row index (the old plan built a
     # BroadcastExchange over the whole distinct shingle table)
+    #
+    # The pair-count shuffle carries ONLY (id_a, id_b): the Σdf² join
+    # output reduces to ~|co-occurring pairs| groups (114M at the sf1.0
+    # corpus — this exchange IS the cost center), so halving its row
+    # width beats carrying the sizes through; they are re-attached to the
+    # (much smaller) post-threshold survivors from the one-row-per-doc
+    # sizes table, which the planner auto-broadcasts when it fits.
     common = (
         a.join(b.hint("shuffle_hash"), "shingle")
         .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .select("id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    sizes = arr.select("id", F.size("garr").alias("sz"))  # narrow, one row/doc
     return (
-        common.withColumn(
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4),
         )

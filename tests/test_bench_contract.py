@@ -7,9 +7,10 @@ NaN would silently have produced invalid JSON."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _finite, emit_json  # noqa: E402
 

@@ -457,3 +457,41 @@ def test_snapshot_diff_pull_respects_overlay_and_compacts(spark, tmp_path):
     assert all(f.bucket >= 0 for f in t.snapshot.files)
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == state["rows"]
+
+
+def test_cursor_type_flip_fails_before_merge(spark, tmp_path):
+    """ADVICE r5: a cursor TYPE FLIP must fail the cycle BEFORE any state
+    lands. The old behavior raised inside the post-merge checkpoint
+    commit, wedging the cycle permanently (every retry hit the
+    skipped-merge heal path and re-raised on re-commit)."""
+    cfg = TableConfig(
+        table="w",
+        merge_key=("k",),
+        cursor="c",
+        columns=(("k", "long"), ("c", "long"), ("v", "string")),
+        num_buckets=4,
+    )
+
+    def source_int(s, last):
+        return s.createDataFrame([(1, 10, "a"), (2, 11, "b")], "k long, c long, v string")
+
+    def source_str(s, last):
+        # upstream cursor column silently became a string
+        return s.createDataFrame([(3, "z12", "c")], "k long, c string, v string")
+
+    orch = SyncOrchestrator(spark, str(tmp_path / "sync"), [cfg], sources={"w": source_int})
+    (r1,) = orch.pull_cycle("c1")
+    assert r1.status == "perfect"
+    eng = orch.engine("w")
+    assert eng.cp.cursor() == 11
+    v_before = eng.table.snapshot.version
+
+    orch.sources["w"] = source_str
+    (r2,) = orch.pull_cycle("c2")
+    assert r2.status == "failed"
+    assert "cursor type changed" in r2.metrics["error"]
+    # the guard fired BEFORE the merge: no new snapshot, cursor unchanged,
+    # and the cycle id is not committed anywhere (cleanly retryable)
+    assert eng.table.snapshot.version == v_before
+    assert eng.cp.cursor() == 11
+    assert not eng.cp.has_batch("c2:w")
