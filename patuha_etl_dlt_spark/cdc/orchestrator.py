@@ -266,7 +266,11 @@ class SyncOrchestrator:
                 # the mode that propagates upstream DELETEs (a cursor can
                 # never see them) at O(changes) write cost vs the full
                 # refresh's O(target) rewrite. See cdc.snapshot_diff.
-                from patuha_etl_dlt_spark.cdc.snapshot_diff import diff_snapshots
+                from patuha_etl_dlt_spark.cdc.snapshot_diff import (
+                    diff_shuffle_partitions,
+                    diff_snapshots,
+                )
+                from patuha_etl_dlt_spark.lake.table import _pinned_shuffle_conf
 
                 def one_diff() -> dict:
                     df, desc = self._build_scan(name, None)
@@ -275,6 +279,17 @@ class SyncOrchestrator:
                     delta = diff_snapshots(
                         df, eng.table.read(), list(cfg.merge_key), op_col=eng.cfg.op_col
                     ).withColumn("_event_id", F.lit(snap_v + 1).cast("long"))
+                    # size the diff's full-outer-join shuffle from the
+                    # TABLE's bytes, not the session constant (the round-5
+                    # 32 M-row spill cliff); AQE coalesces the excess when
+                    # the table is small. A bucketed-overlay merge re-pins
+                    # its WRITE to num_buckets inside (its own documented
+                    # trade); the global-overlay path runs entirely at
+                    # this width.
+                    diff_width = diff_shuffle_partitions(
+                        eng.table,
+                        int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                    )
                     obs = Observation()
                     opc = F.upper(F.col(eng.cfg.op_col))
                     delta = delta.observe(
@@ -283,18 +298,19 @@ class SyncOrchestrator:
                         F.sum((opc == "D").cast("long")).alias("delete_events"),
                         F.sum((opc == "I").cast("long")).alias("insert_events"),
                     )
-                    m = eng.table.merge(
-                        delta,
-                        batch_id=bid,
-                        op_col=eng.cfg.op_col,
-                        mode=eng.cfg.merge_mode,
-                        overlay=eng.cfg.overlay,
-                        # diff output is key-unique by construction (one
-                        # full-outer join on the keys of two key-unique
-                        # snapshots) — the merge can skip its in-batch
-                        # LWW reduction
-                        delta_reduced=True,
-                    )
+                    with _pinned_shuffle_conf(self.spark, diff_width):
+                        m = eng.table.merge(
+                            delta,
+                            batch_id=bid,
+                            op_col=eng.cfg.op_col,
+                            mode=eng.cfg.merge_mode,
+                            overlay=eng.cfg.overlay,
+                            # diff output is key-unique by construction (one
+                            # full-outer join on the keys of two key-unique
+                            # snapshots) — the merge can skip its in-batch
+                            # LWW reduction
+                            delta_reduced=True,
+                        )
                     if m.get("skipped"):
                         if not eng.cp.has_batch(bid):
                             eng.cp.commit(bid, {}, {"skipped_merge": True})

@@ -38,8 +38,35 @@ dominated by the two scans, exactly this bound.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def diff_shuffle_partitions(
+    table, session_partitions: int, target_bytes: int = 64 << 20
+) -> int:
+    """Shuffle width for a snapshot-diff cycle, derived from the TABLE's
+    on-disk bytes: ``max(session, table_bytes // target_bytes)``.
+
+    The diff's full-outer join otherwise inherits the session's shuffle
+    partitions — right for steady-state micro-batches, but the diff
+    shuffles O(|table|) bytes, so a 32 M-row table squeezed through a
+    core-count-sized shuffle spills off a cliff (BASELINE.md round 5:
+    3.2 s → 57 s between 8 M and 32 M rows). Sizing partitions so each
+    holds ~``target_bytes`` keeps the hash join's per-task state bounded
+    (guide §2.2/§5); AQE coalescing shrinks the excess back when the
+    table is small, so over-provisioning is free. Driver cost is one
+    ``os.path.getsize`` per live data file (O(buckets))."""
+    total = 0
+    for f in table.snapshot.files:
+        p = os.path.join(table.root, f.path)
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass  # concurrently expired file: under-counting is safe
+    return max(int(session_partitions), int(total // max(1, int(target_bytes))))
 
 
 def diff_snapshots(

@@ -495,3 +495,30 @@ def test_cursor_type_flip_fails_before_merge(spark, tmp_path):
     assert eng.table.snapshot.version == v_before
     assert eng.cp.cursor() == 11
     assert not eng.cp.has_batch("c2:w")
+
+
+def test_diff_shuffle_partitions_sized_from_table_bytes(spark, tmp_path):
+    """VERDICT r5 #4: the snapshot-diff shuffle width derives from the
+    table's on-disk bytes (max(session, bytes // target)), so a large
+    table's full-outer diff join no longer squeezes through a
+    core-count-sized shuffle (the 32M-row spill cliff)."""
+    from patuha_etl_dlt_spark.cdc.snapshot_diff import diff_shuffle_partitions
+    from patuha_etl_dlt_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), [("k", "long"), ("v", "string")],
+        key_cols="k", order_col=None, num_buckets=4,
+    )
+    t.merge(spark.createDataFrame([(i, "x" * 50) for i in range(2000)], "k long, v string"),
+            batch_id="b0", op_col=None)
+    total = sum(
+        __import__("os").path.getsize(__import__("os").path.join(t.root, f.path))
+        for f in t.snapshot.files
+    )
+    assert total > 0
+    # small table: session width wins (AQE-coalesce-friendly floor)
+    assert diff_shuffle_partitions(t, 8) == 8
+    # big-table regime simulated by shrinking the per-partition target:
+    # width scales with bytes, never below the session width
+    assert diff_shuffle_partitions(t, 8, target_bytes=total // 32) == 32
+    assert diff_shuffle_partitions(t, 64, target_bytes=total // 32) == 64
