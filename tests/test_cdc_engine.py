@@ -734,3 +734,48 @@ def test_broadcast_lww_strategy_converges_and_auto_promotes(spark, tmp_path, fee
     t_fb, plans_fb = run(EngineConfig(overlay="global", lww_broadcast_row_bytes=1), "fb")
     assert plans_fb == ["shuffle", "broadcast", "broadcast"]
     assert table_state(t_fb) == oracle_state(pdf)
+
+
+def test_lww_gate_decision_boundary_property():
+    """VERDICT r5 #8 (unit half): Hypothesis over the auto gate's inputs —
+    broadcast is chosen ONLY when every eligibility condition holds
+    (mor+global, rows within cap, width measured and at/above threshold
+    unless disabled), and explicit strategies behave as declared. Pure
+    unit: the gate reads no Spark state."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    @given(
+        strategy=st.sampled_from(["auto", "shuffle", "broadcast"]),
+        merge_mode=st.sampled_from(["mor", "cow"]),
+        overlay=st.sampled_from(["global", "bucket"]),
+        known_rows=st.one_of(st.none(), st.integers(min_value=0, max_value=10**8)),
+        max_keys=st.integers(min_value=1, max_value=10**7),
+        row_bytes_gate=st.integers(min_value=0, max_value=10**5),
+        last_row_bytes=st.one_of(st.none(), st.floats(min_value=0, max_value=10**6)),
+    )
+    def check(strategy, merge_mode, overlay, known_rows, max_keys, row_bytes_gate, last_row_bytes):
+        cfg = EngineConfig(
+            merge_mode=merge_mode, overlay=overlay, lww_strategy=strategy,
+            lww_broadcast_max_keys=max_keys, lww_broadcast_row_bytes=row_bytes_gate,
+        )
+        eng = CdcEngine.__new__(CdcEngine)  # gate needs only cfg + width memo
+        eng.cfg = cfg
+        eng._last_row_bytes = last_row_bytes
+        got = eng._lww_use_broadcast(known_rows)
+        eligible = merge_mode == "mor" and overlay == "global"
+        if strategy == "shuffle" or not eligible:
+            assert got is False
+        elif strategy == "broadcast":
+            assert got is True
+        else:  # auto
+            if known_rows is None or known_rows > max_keys:
+                assert got is False
+            elif not row_bytes_gate:
+                assert got is True
+            elif last_row_bytes is None:
+                assert got is False
+            else:
+                assert got is (last_row_bytes >= row_bytes_gate)
+
+    check()
