@@ -230,52 +230,26 @@ def _minhash_exprs(base, k: int, seed: int = 1):
     return exprs
 
 
-def _minhash_mins(hs, k: int, seed: int = 1):
-    """k min-hashes over a base-hash ARRAY column as one array<long>
-    expression — each rehash is an ``array_min`` over an affine transform
-    of ``hs``. Values are identical to the former
-    ``groupBy(id).agg(k × min(...))`` plan (same arithmetic, same
-    Mersenne modulus), minus its full-corpus exchange. ``hs`` must be a
-    bare column reference: referenced k times, so an inline expression
-    would be evaluated k times per row."""
-
-    def affine(a: int, b: int):
-        # closure factory: a default-arg lambda would read as a 3-arg
-        # higher-order lambda to the analyzer
-        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MERSENNE_P)
-
-    mins = []
-    for i in range(k):
-        a = (2 * (seed * 1_000_003 + i * 7919) + 1) % MERSENNE_P or 1
-        b = (seed * 998_244_353 + i * 104_729) % MERSENNE_P
-        mins.append(F.array_min(F.transform(hs, affine(a, b))))
-    return F.array(*mins)
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig array<long>) — k min-hashes per doc, computed per ROW from
-    the doc's distinct-shingle array (zero shuffles; docs with no shingles
-    yield no row, matching the former exploded-groupBy plan).
+    """(id, sig array<long>) — k min-hashes per doc in ONE aggregation
+    over the exploded per-doc shingle arrays (no ``distinct()`` exchange:
+    dedup happened per row in ``shingle_arrays``; docs with no shingles
+    explode to nothing and yield no row).
 
-    Plan shape notes: docs without shingles are dropped by a CHEAP token
-    count predicate on the raw text (< shingle_n tokens ⇔ empty shingle
-    set) — filtering on ``size(garr)`` instead would inline the whole
-    shingle expression into the pushed-down filter. The per-shingle base
-    hash is projected ONCE into ``hs``; the k rehashes reference it as a
-    column, each a single array_min pass."""
-    src = df.filter(
-        F.size(F.split(normalize_text(F.col(text_col)), " ")) >= shingle_n
-    )
-    arr = shingle_arrays(src, id_col, text_col, shingle_n)
-    hs = arr.select(
-        "id",
-        F.transform("garr", lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE_P)).alias(
-            "hs"
-        ),
-    )
-    return hs.select("id", _minhash_mins(F.col("hs"), n_hashes).alias("sig"))
+    Plan choice note: a per-row formulation (k × ``array_min(transform)``
+    over the gram array, zero shuffles) was measured 2× SLOWER than this
+    aggregate — higher-order functions are interpreted, while the k
+    ``min`` aggregates run in whole-stage codegen with map-side partial
+    aggregation, and the exchange they pay carries only ~|docs| × k
+    partial minima."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    base = F.abs(F.xxhash64("shingle"))
+    hs = _minhash_exprs(base, n_hashes)
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hs)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
